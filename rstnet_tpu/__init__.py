@@ -1,0 +1,22 @@
+"""RSTnet-TPU: a TPU-native real-time speech-text foundation model toolkit.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of RSTnet
+(yangdongchao/RSTnet): streaming Mimi-style audio codec, Moshi-style
+RQ-Transformer speech-text LM over pretrained LLM backbones, sharded
+training on a TPU mesh, and a jit-compiled real-time generation loop.
+
+Design notes
+------------
+Instead of the reference's mutable ``StreamingModule`` state protocol
+(``MLLM_v2/modules/streaming.py:33-151``), every stateful component here is a
+pure function over explicit, fixed-shape state pytrees:
+
+    y            = module(params, x)            # offline
+    state        = module.init_state(batch)     # fixed-shape state pytree
+    y, new_state = module.step(params, state, x)  # streaming chunk
+
+Fixed shapes make every streaming step jit-compilable once, giving the
+XLA equivalent of the reference's CUDA-graph capture for free.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,64 @@
+"""Core helpers shared across the framework: PRNG plumbing, param utilities.
+
+The module convention (see package docstring): modules are frozen dataclasses
+holding only *static* configuration, so they are hashable and can be closed
+over by jit. Parameters and streaming state are plain nested-dict pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # nested dict pytree of jnp arrays
+State = Any  # nested dict pytree of jnp arrays
+
+
+class RngStream:
+    """Splits a PRNG key into a stream of fresh keys (init-time only)."""
+
+    def __init__(self, key: jax.Array):
+        self._key = key
+
+    def __call__(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+
+def param_count(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def param_bytes(params: Params) -> int:
+    return sum(int(p.size * p.dtype.itemsize) for p in jax.tree.leaves(params))
+
+
+def cast_floating(tree: Params, dtype) -> Params:
+    """Cast floating-point leaves of a pytree to ``dtype``; leave ints alone."""
+
+    def _cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(_cast, tree)
+
+
+def flatten_dict(tree: Params, prefix: str = "", sep: str = ".") -> Iterator[tuple[str, Any]]:
+    """Yield (dotted-path, leaf) pairs from a nested dict/list pytree."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from flatten_dict(v, f"{prefix}{sep}{k}" if prefix else str(k), sep)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from flatten_dict(v, f"{prefix}{sep}{i}" if prefix else str(i), sep)
+    else:
+        yield prefix, tree
+
+
+def config_fields(obj) -> dict:
+    """Static config of a module dataclass, for repr/serialization."""
+    return {f.name: getattr(obj, f.name) for f in dataclasses.fields(obj)}

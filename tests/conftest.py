@@ -1,0 +1,44 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+Multi-chip sharding (dp/fsdp/tp) is validated on virtual CPU devices, as real
+multi-chip hardware is not available in CI; the same code paths run on a TPU
+mesh unchanged.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The environment's boot hook (sitecustomize) may force-register a TPU
+# platform regardless of JAX_PLATFORMS; override it after import so tests
+# always run on the 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+REFERENCE_ROOT = "/root/reference/MLLM_v2"
+
+
+@pytest.fixture(scope="session")
+def torch_reference():
+    """Import the PyTorch reference for behavioral parity tests.
+
+    Skips if the reference tree or torch is unavailable. Used only to compare
+    numerical outputs — never as a source of weights or code.
+    """
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree not available")
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    return torch
