@@ -1,0 +1,310 @@
+"""Streaming transformer with ring KV cache and per-step (depformer) weights.
+
+Capability parity with ``MLLM_v2/modules/transformer.py:293-750``
+(StreamingMultiheadAttention / StreamingTransformerLayer /
+StreamingTransformer / ProjectedTransformer), re-designed TPU-first:
+
+* Layer parameters are **stacked** along a leading layer axis and the layer
+  loop is a ``lax.scan`` — one traced layer body regardless of depth, so a
+  32-layer model compiles as fast as a 1-layer one.
+* Streaming state is an explicit pytree: per-layer ring KV caches stacked
+  ``[L, B, H, capacity, D]`` plus a single step counter. A jitted
+  ``step(params, state, x)`` replaces the reference's CUDA-graphed replay.
+* ``weights_per_step`` (the depth-transformer trick: a different set of
+  projection/FFN weights per codebook step) is a step-indexed einsum over a
+  stacked ``[S, ...]`` weight tensor instead of a Python loop over time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rstnet_tpu.core import Params, State
+from rstnet_tpu.ops.attention import (
+    masked_attention,
+    multi_linear,
+    ring_kv_init,
+    ring_kv_update,
+)
+from rstnet_tpu.ops.gating import ActivationGating, get_activation
+from rstnet_tpu.ops.norms import LayerScale, Norm
+from rstnet_tpu.ops.rope import apply_rope_interleaved
+
+
+def create_sin_embedding(
+    positions: jax.Array, dim: int, max_period: float = 10_000.0, dtype=jnp.float32
+) -> jax.Array:
+    """Sinusoidal positional embedding, [*, T] positions -> [*, T, dim]."""
+    assert dim % 2 == 0
+    half = dim // 2
+    positions = positions.astype(dtype)[..., None]
+    adim = jnp.arange(half, dtype=dtype)
+    phase = positions / (max_period ** (adim / (half - 1)))
+    return jnp.concatenate([jnp.cos(phase), jnp.sin(phase)], axis=-1)
+
+
+def _linear_init(key, out_dim, in_dim, dtype):
+    bound = 1.0 / math.sqrt(in_dim)
+    return jax.random.uniform(key, (out_dim, in_dim), dtype, -bound, bound)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingTransformer:
+    """Causal transformer with streaming ring-KV state.
+
+    ``weights_per_step > 0`` gives every time step its own attention
+    projections and FFN (used by the depth transformer over codebooks);
+    sequences then must not exceed ``weights_per_step`` steps from offset 0.
+    """
+
+    d_model: int
+    num_heads: int
+    num_layers: int
+    dim_feedforward: int = 2048
+    causal: bool = False
+    context: Optional[int] = None
+    gating: str = "none"  # "none" -> dense MLP with `activation`
+    norm: str = "layer_norm"
+    positional_embedding: str = "sin"  # {sin, rope, sin_rope, none}
+    max_period: float = 10_000.0
+    positional_scale: float = 1.0
+    layer_scale: Optional[float] = None
+    weights_per_step: int = 0
+    activation: str = "gelu"
+
+    def __post_init__(self):
+        assert self.d_model % self.num_heads == 0
+        assert self.positional_embedding in ("sin", "rope", "sin_rope", "none")
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @property
+    def _mult(self) -> int:
+        return max(1, self.weights_per_step)
+
+    @property
+    def _norm(self) -> Norm:
+        return Norm(self.norm, self.d_model)
+
+    @property
+    def _layer_scale(self) -> Optional[LayerScale]:
+        if self.layer_scale is None:
+            return None
+        return LayerScale(self.d_model, self.layer_scale)
+
+    @property
+    def kv_capacity(self) -> int:
+        if self.context is not None:
+            return self.context
+        if self.weights_per_step:
+            return self.weights_per_step
+        raise ValueError("streaming needs a context (or weights_per_step) to bound the KV cache")
+
+    # -- init ---------------------------------------------------------------
+
+    def _init_layer(self, key: jax.Array, dtype) -> Params:
+        d, mult = self.d_model, self._mult
+        keys = jax.random.split(key, 8)
+        p: Params = {
+            "norm1": self._norm.init(keys[0], dtype),
+            "norm2": self._norm.init(keys[1], dtype),
+            "in_proj": _linear_init(keys[2], mult * 3 * d, d, dtype),
+            "out_proj": _linear_init(keys[3], mult * d, d, dtype),
+        }
+        if self.gating == "none":
+            assert not self.weights_per_step, "weights_per_step requires gating"
+            p["linear1"] = _linear_init(keys[4], self.dim_feedforward, d, dtype)
+            p["linear2"] = _linear_init(keys[5], d, self.dim_feedforward, dtype)
+        else:
+            g = ActivationGating(d, self.dim_feedforward, self.gating)
+            if self.weights_per_step:
+                gkeys = jax.random.split(keys[4], self.weights_per_step)
+                gp = jax.vmap(lambda k: g.init(k, dtype))(gkeys)
+            else:
+                gp = g.init(keys[4], dtype)
+            p["gating"] = gp
+        ls = self._layer_scale
+        if ls is not None:
+            p["layer_scale_1"] = ls.init(keys[6], dtype)
+            p["layer_scale_2"] = ls.init(keys[7], dtype)
+        return p
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        keys = jax.random.split(key, self.num_layers)
+        return {"layers": jax.vmap(lambda k: self._init_layer(k, dtype))(keys)}
+
+    # -- layer body ---------------------------------------------------------
+
+    def _project_qkv(self, layer: Params, x: jax.Array, offset) -> tuple:
+        B, T, d = x.shape
+        if self.weights_per_step:
+            w = layer["in_proj"].reshape(self.weights_per_step, 3 * d, d)
+            projected = multi_linear(w, x, offset)
+        else:
+            projected = x @ layer["in_proj"].T
+        # reference layout: (p h d) packing with p=3 → [3, B, H, T, Dh]
+        proj = projected.reshape(B, T, 3, self.num_heads, self.head_dim)
+        proj = jnp.transpose(proj, (2, 0, 3, 1, 4))
+        return proj[0], proj[1], proj[2]
+
+    def _out_proj(self, layer: Params, x: jax.Array, offset) -> jax.Array:
+        if self.weights_per_step:
+            w = layer["out_proj"].reshape(self.weights_per_step, self.d_model, self.d_model)
+            return multi_linear(w, x, offset)
+        return x @ layer["out_proj"].T
+
+    def _ffn(self, layer: Params, x: jax.Array, offset) -> jax.Array:
+        h = self._norm(layer["norm2"], x)
+        if self.gating == "none":
+            act = get_activation(self.activation)
+            update = act(h @ layer["linear1"].T) @ layer["linear2"].T
+        elif self.weights_per_step:
+            T = x.shape[1]
+            steps = jnp.asarray(offset) + jnp.arange(T)
+            w_in = jnp.take(layer["gating"]["linear_in"], steps, axis=0, mode="clip")
+            w_out = jnp.take(layer["gating"]["linear_out"], steps, axis=0, mode="clip")
+            g = jnp.einsum("btd,thd->bth", h, w_in.astype(h.dtype))
+            gate, val = jnp.split(g, 2, axis=-1)
+            gated = get_activation(self.gating)(gate) * val
+            update = jnp.einsum("bth,tdh->btd", gated, w_out.astype(h.dtype))
+        else:
+            g = ActivationGating(self.d_model, self.dim_feedforward, self.gating)
+            update = g(layer["gating"], h)
+        if self._layer_scale is not None:
+            update = LayerScale(self.d_model, 0.0)(layer["layer_scale_2"], update)
+        return x + update
+
+    def _attn(
+        self, layer: Params, x: jax.Array, offset, kv_cache: Optional[dict]
+    ) -> tuple[jax.Array, Optional[dict]]:
+        h = self._norm(layer["norm1"], x)
+        q, k, v = self._project_qkv(layer, h, offset)
+        T = x.shape[1]
+        if self.positional_embedding in ("rope", "sin_rope"):
+            q, k = apply_rope_interleaved(q, k, offset, self.max_period)
+        if kv_cache is None:
+            pos = jnp.arange(T, dtype=jnp.int32)
+            pos_q = jnp.asarray(offset, jnp.int32) + pos
+            attn = masked_attention(q, k, v, pos_q, pos, self.context, self.causal)
+            new_cache = None
+        else:
+            assert self.causal, "streaming only for causal attention"
+            new_cache, pos_k, _ = ring_kv_update(kv_cache, jnp.asarray(offset), k, v)
+            pos_q = jnp.asarray(offset, jnp.int32) + jnp.arange(T, dtype=jnp.int32)
+            attn = masked_attention(
+                q, new_cache["k"], new_cache["v"], pos_q, pos_k, self.context, True
+            )
+        B = x.shape[0]
+        attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(B, T, self.d_model)
+        update = self._out_proj(layer, attn, offset)
+        if self._layer_scale is not None:
+            update = LayerScale(self.d_model, 0.0)(layer["layer_scale_1"], update)
+        return x + update, new_cache
+
+    def _layer(self, layer: Params, x, offset, kv_cache):
+        x, new_cache = self._attn(layer, x, offset, kv_cache)
+        x = self._ffn(layer, x, offset)
+        return x, new_cache
+
+    # -- offline ------------------------------------------------------------
+
+    def __call__(self, params: Params, x: jax.Array, offset: jax.Array | int = 0) -> jax.Array:
+        """Offline forward, [B, T, C] -> [B, T, C] (full causal mask)."""
+        B, T, C = x.shape
+        if self.positional_embedding in ("sin", "sin_rope"):
+            positions = jnp.asarray(offset) + jnp.arange(T)
+            pos_emb = create_sin_embedding(positions, C, self.max_period)[None]
+            x = x + self.positional_scale * pos_emb.astype(x.dtype)
+
+        def body(h, layer):
+            h, _ = self._layer(layer, h, offset, None)
+            return h, None
+
+        x, _ = lax.scan(body, x, params["layers"])
+        return x
+
+    # -- streaming ----------------------------------------------------------
+
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1) -> State:
+        """Streaming state. ``chunk_size`` is the max steps fed per ``step``
+        call: the ring keeps ``context + chunk_size - 1`` slots so that the
+        earliest query of a chunk still sees its full attention window
+        (chunk_size=1 → capacity == context, the generation-loop case)."""
+        cap = self.kv_capacity + chunk_size - 1
+        shape = (self.num_layers, batch_size, self.num_heads, cap, self.head_dim)
+        kv = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        return {"kv": kv, "offset": jnp.zeros((), jnp.int32)}
+
+    def step(self, params: Params, state: State, x: jax.Array) -> tuple[jax.Array, State]:
+        """Streaming chunk of T steps (T=1 for generation)."""
+        B, T, C = x.shape
+        offset = state["offset"]
+        if self.positional_embedding in ("sin", "sin_rope"):
+            positions = offset + jnp.arange(T)
+            pos_emb = create_sin_embedding(positions, C, self.max_period)[None]
+            x = x + self.positional_scale * pos_emb.astype(x.dtype)
+
+        def body(h, inp):
+            layer, kv = inp
+            h, new_kv = self._layer(layer, h, offset, kv)
+            return h, new_kv
+
+        x, new_kv = lax.scan(body, x, (params["layers"], state["kv"]))
+        return x, {"kv": new_kv, "offset": offset + T}
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectedTransformer:
+    """Transformer with input/output dimension projections and optional
+    ``[B, C, T]`` conv layout (parity: ``moshi/modules/transformer.py:698-750``)."""
+
+    transformer: StreamingTransformer
+    input_dimension: int
+    output_dimensions: tuple[int, ...]
+    conv_layout: bool = False
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        keys = jax.random.split(key, 2 + len(self.output_dimensions))
+        p: Params = {"transformer": self.transformer.init(keys[0], dtype)}
+        d = self.transformer.d_model
+        if d != self.input_dimension:
+            p["input_proj"] = _linear_init(keys[1], d, self.input_dimension, dtype)
+        for i, od in enumerate(self.output_dimensions):
+            if od != d:
+                p[f"output_proj_{i}"] = _linear_init(keys[2 + i], od, d, dtype)
+        return p
+
+    def _pre(self, params, x):
+        if self.conv_layout:
+            x = jnp.swapaxes(x, 1, 2)
+        if "input_proj" in params:
+            x = x @ params["input_proj"].T
+        return x
+
+    def _post(self, params, z):
+        ys = []
+        for i, od in enumerate(self.output_dimensions):
+            y = z @ params[f"output_proj_{i}"].T if f"output_proj_{i}" in params else z
+            if self.conv_layout:
+                y = jnp.swapaxes(y, 1, 2)
+            ys.append(y)
+        return tuple(ys)
+
+    def __call__(self, params: Params, x: jax.Array) -> tuple[jax.Array, ...]:
+        z = self.transformer(params["transformer"], self._pre(params, x))
+        return self._post(params, z)
+
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1) -> State:
+        return self.transformer.init_state(batch_size, dtype, chunk_size)
+
+    def step(self, params: Params, state: State, x: jax.Array):
+        z, state = self.transformer.step(params["transformer"], state, self._pre(params, x))
+        return self._post(params, z), state

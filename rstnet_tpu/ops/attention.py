@@ -1,0 +1,112 @@
+"""Attention core: windowed-causal masked attention + ring KV cache.
+
+Capability parity with the reference's streaming attention machinery
+(``MLLM_v2/modules/transformer.py:198-419``): a fixed-capacity circular KV
+buffer with position recovery (RingKVCache) giving O(context) memory for
+unbounded streams, and an additive windowed-causal mask derived from
+absolute positions. Pure functions over arrays; the ring write is a static-
+shape scatter, so a jitted generation step compiles once (the XLA analogue
+of the reference's CUDA-graphed step).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = float("-inf")
+
+
+def ring_positions(capacity: int, end: jax.Array) -> jax.Array:
+    """Absolute time position of each ring slot; -1 for not-yet-written.
+
+    ``end`` is the total number of steps written so far (after the current
+    write). Role parity with reference ``RingKVCache.complete`` position
+    recovery (``modules/transformer.py:254-277``), with one deliberate fix:
+    the reference marks the slot at ``end % capacity`` as invalid even when
+    it still holds the oldest in-window entry, so a full ring attends to
+    ``capacity - 1`` past steps. Here every written slot keeps its true
+    position — chunked streaming is exactly equal to the offline windowed
+    mask for any sequence length.
+    """
+    idx = jnp.arange(capacity, dtype=jnp.int32)
+    # Largest position p <= end-1 with p ≡ idx (mod capacity).
+    wraps = (end - 1 - idx) // capacity
+    pos = idx + wraps * capacity
+    return jnp.where(idx >= end, -1, pos)
+
+
+def ring_kv_init(
+    batch: int, heads: int, capacity: int, dim_per_head: int, dtype=jnp.bfloat16
+) -> dict:
+    return {
+        "k": jnp.zeros((batch, heads, capacity, dim_per_head), dtype),
+        "v": jnp.zeros((batch, heads, capacity, dim_per_head), dtype),
+    }
+
+
+def ring_kv_update(
+    cache: dict, end: jax.Array, k_new: jax.Array, v_new: jax.Array
+) -> tuple[dict, jax.Array, jax.Array]:
+    """Write T new KV steps into the ring at ``(end + t) % capacity``.
+
+    Returns (new_cache, positions[capacity], new_end). ``end`` is the count
+    of steps written before this call.
+    """
+    T = k_new.shape[2]
+    capacity = cache["k"].shape[2]
+    idx = (jnp.arange(T, dtype=jnp.int32) + end) % capacity
+    new_cache = {
+        "k": cache["k"].at[:, :, idx, :].set(k_new.astype(cache["k"].dtype)),
+        "v": cache["v"].at[:, :, idx, :].set(v_new.astype(cache["v"].dtype)),
+    }
+    new_end = end + T
+    return new_cache, ring_positions(capacity, new_end), new_end
+
+
+def masked_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pos_q: jax.Array,
+    pos_k: jax.Array,
+    context: int | None,
+    causal: bool = True,
+) -> jax.Array:
+    """Scaled dot-product attention with windowed-causal position mask.
+
+    q: [B, H, Tq, D]; k, v: [B, Hkv, S, D]; pos_q: [Tq]; pos_k: [S].
+    Softmax in float32. Supports GQA when Hkv divides H.
+    """
+    B, H, Tq, D = q.shape
+    Hkv = k.shape[1]
+    if Hkv != H:
+        assert H % Hkv == 0
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    scale = 1.0 / (D**0.5)
+    logits = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if causal:
+        delta = pos_q[:, None] - pos_k[None, :]
+        mask = (pos_k[None, :] >= 0) & (delta >= 0)
+        if context is not None:
+            mask = mask & (delta < context)
+        logits = jnp.where(mask[None, None], logits, _NEG_INF)
+    att = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", att.astype(v.dtype), v)
+    return out
+
+
+def multi_linear(weight: jax.Array, x: jax.Array, offset: jax.Array | int) -> jax.Array:
+    """Per-time-step linear: different weights at each step.
+
+    weight: [S, out, in]; x: [B, T, in]; step t uses ``weight[offset + t]``.
+    Replaces the reference's Python loop (``modules/transformer.py:155-179``)
+    with a gather + batched matmul that XLA maps onto the MXU.
+    """
+    T = x.shape[1]
+    w = jnp.take(weight, jnp.asarray(offset) + jnp.arange(T), axis=0, mode="clip")
+    return jnp.einsum("bti,toi->bto", x, w.astype(x.dtype))
