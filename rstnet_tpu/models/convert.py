@@ -1,0 +1,210 @@
+"""Checkpoint converters: PyTorch reference state dicts -> rstnet_tpu params.
+
+Loads public checkpoints unchanged (kyutai Mimi/Moshi safetensors, litgpt
+``lit_model.pth``) by mapping the reference's module names
+(``moshi/models/compression.py``, ``modules/transformer.py``) onto this
+framework's stacked-param pytrees. All inputs are name -> numpy array.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from rstnet_tpu.core import Params
+from rstnet_tpu.models.mimi import MimiModel
+from rstnet_tpu.modules.seanet import SEANetDecoder, SEANetEncoder
+from rstnet_tpu.modules.transformer import ProjectedTransformer, StreamingTransformer
+from rstnet_tpu.quantization.rvq import (
+    ResidualVectorQuantizer,
+    SplitResidualVectorQuantizer,
+)
+
+Array = np.ndarray
+SD = Mapping[str, Array]
+
+
+def _get(sd: SD, name: str) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(sd[name]))
+
+
+def _conv_params(sd: SD, prefix: str, has_bias: bool) -> Params:
+    """Conv params at ``prefix`` (e.g. ``...conv.conv``), resolving plain,
+    weight_norm (weight_g/weight_v) and parametrize-style names."""
+    p: Params = {}
+    if f"{prefix}.weight" in sd:
+        p["weight"] = _get(sd, f"{prefix}.weight")
+    elif f"{prefix}.weight_g" in sd:
+        p["weight_g"] = _get(sd, f"{prefix}.weight_g")
+        p["weight_v"] = _get(sd, f"{prefix}.weight_v")
+    elif f"{prefix}.parametrizations.weight.original0" in sd:
+        p["weight_g"] = _get(sd, f"{prefix}.parametrizations.weight.original0")
+        p["weight_v"] = _get(sd, f"{prefix}.parametrizations.weight.original1")
+    else:
+        raise KeyError(f"no conv weight found under {prefix}")
+    if has_bias and f"{prefix}.bias" in sd:
+        p["bias"] = _get(sd, f"{prefix}.bias")
+    return p
+
+
+def convert_streaming_transformer(
+    sd: SD, prefix: str, module: StreamingTransformer
+) -> Params:
+    """Stack the reference's per-layer weights into [L, ...] params."""
+    L = module.num_layers
+
+    def stack(fmt: str) -> jnp.ndarray:
+        return jnp.stack([_get(sd, fmt.format(i=i)) for i in range(L)])
+
+    layers: Params = {
+        "in_proj": stack(f"{prefix}.layers.{{i}}.self_attn.in_proj_weight"),
+        "out_proj": stack(f"{prefix}.layers.{{i}}.self_attn.out_proj.weight"),
+    }
+    for n in ("norm1", "norm2"):
+        if f"{prefix}.layers.0.{n}.alpha" in sd:
+            alphas = [
+                np.asarray(sd[f"{prefix}.layers.{i}.{n}.alpha"]).reshape(-1)
+                for i in range(L)
+            ]
+            layers[n] = {"alpha": jnp.stack([jnp.asarray(a) for a in alphas])}
+        else:
+            layers[n] = {
+                "weight": stack(f"{prefix}.layers.{{i}}.{n}.weight"),
+                "bias": stack(f"{prefix}.layers.{{i}}.{n}.bias"),
+            }
+    if module.gating == "none":
+        layers["linear1"] = stack(f"{prefix}.layers.{{i}}.linear1.weight")
+        layers["linear2"] = stack(f"{prefix}.layers.{{i}}.linear2.weight")
+    elif module.weights_per_step:
+        S = module.weights_per_step
+        layers["gating"] = {
+            "linear_in": jnp.stack([
+                jnp.stack([_get(sd, f"{prefix}.layers.{i}.gating.{s}.linear_in.weight") for s in range(S)])
+                for i in range(L)
+            ]),
+            "linear_out": jnp.stack([
+                jnp.stack([_get(sd, f"{prefix}.layers.{i}.gating.{s}.linear_out.weight") for s in range(S)])
+                for i in range(L)
+            ]),
+        }
+    else:
+        layers["gating"] = {
+            "linear_in": stack(f"{prefix}.layers.{{i}}.gating.linear_in.weight"),
+            "linear_out": stack(f"{prefix}.layers.{{i}}.gating.linear_out.weight"),
+        }
+    if module.layer_scale is not None:
+        layers["layer_scale_1"] = {"scale": stack(f"{prefix}.layers.{{i}}.layer_scale_1.scale")}
+        layers["layer_scale_2"] = {"scale": stack(f"{prefix}.layers.{{i}}.layer_scale_2.scale")}
+    return {"layers": layers}
+
+
+def convert_projected_transformer(
+    sd: SD, prefix: str, module: ProjectedTransformer
+) -> Params:
+    p = {
+        "transformer": convert_streaming_transformer(
+            sd, f"{prefix}.transformer", module.transformer
+        )
+    }
+    if f"{prefix}.input_proj.weight" in sd:
+        p["input_proj"] = _get(sd, f"{prefix}.input_proj.weight")
+    for i in range(len(module.output_dimensions)):
+        name = f"{prefix}.output_projs.{i}.weight"
+        if name in sd:
+            p[f"output_proj_{i}"] = _get(sd, name)
+    return p
+
+
+def convert_seanet(sd: SD, prefix: str, module: SEANetEncoder | SEANetDecoder) -> Params:
+    """Map the reference's flat Sequential (activations included in indices)
+    onto this framework's parameterized-layer list."""
+    layers = []
+    for pos, entry in enumerate(module.layout):
+        kind = entry[0]
+        if kind == "act":
+            continue
+        if kind == "conv":
+            layers.append(_conv_params(sd, f"{prefix}.model.{pos}.conv.conv", entry[1].bias))
+        elif kind == "convtr":
+            layers.append(
+                _conv_params(sd, f"{prefix}.model.{pos}.convtr.convtr", entry[1].bias)
+            )
+        elif kind == "resnet":
+            block = entry[1]
+            bp: Params = {"block": []}
+            # reference block = Sequential(act, conv, act, conv, ...)
+            for j in range(len(block.convs)):
+                bp["block"].append(
+                    _conv_params(sd, f"{prefix}.model.{pos}.block.{2 * j + 1}.conv.conv", True)
+                )
+            if block.shortcut is not None:
+                bp["shortcut"] = _conv_params(sd, f"{prefix}.model.{pos}.shortcut.conv.conv", True)
+            layers.append(bp)
+    return {"layers": layers}
+
+
+def convert_rvq(sd: SD, prefix: str, module: ResidualVectorQuantizer) -> Params:
+    p: Params = {}
+    if module.has_input_proj:
+        p["input_proj"] = _get(sd, f"{prefix}.input_proj.weight")[..., 0]
+    if module.has_output_proj:
+        p["output_proj"] = _get(sd, f"{prefix}.output_proj.weight")[..., 0]
+
+    def stack(name: str) -> jnp.ndarray:
+        return jnp.stack([
+            _get(sd, f"{prefix}.vq.layers.{k}._codebook.{name}") for k in range(module.n_q)
+        ])
+
+    init_name = "_initialized" if f"{prefix}.vq.layers.0._codebook._initialized" in sd else "inited"
+    p["layers"] = {
+        "embedding_sum": stack("embedding_sum"),
+        "cluster_usage": stack("cluster_usage"),
+        "initialized": stack(init_name).reshape(module.n_q).astype(jnp.float32),
+    }
+    return p
+
+
+def convert_split_rvq(sd: SD, prefix: str, module: SplitResidualVectorQuantizer) -> Params:
+    return {
+        "rvq_first": convert_rvq(sd, f"{prefix}.rvq_first", module.rvq_first),
+        "rvq_rest": convert_rvq(sd, f"{prefix}.rvq_rest", module.rvq_rest),
+    }
+
+
+def convert_mimi(sd: SD, model: MimiModel) -> Params:
+    """Full Mimi checkpoint (e.g. kyutai tokenizer safetensors) -> params."""
+    p: Params = {
+        "encoder": convert_seanet(sd, "encoder", model.encoder),
+        "decoder": convert_seanet(sd, "decoder", model.decoder),
+        "encoder_transformer": convert_projected_transformer(
+            sd, "encoder_transformer", model.encoder_transformer
+        ),
+        "decoder_transformer": convert_projected_transformer(
+            sd, "decoder_transformer", model.decoder_transformer
+        ),
+        "quantizer": convert_split_rvq(sd, "quantizer", model.quantizer),
+    }
+    if model.downsample is not None:
+        p["downsample"] = _conv_params(sd, "downsample.conv.conv.conv", False)
+        p["upsample"] = _conv_params(sd, "upsample.convtr.convtr.convtr", False)
+    return p
+
+
+def load_torch_state_dict(path: str) -> dict[str, Array]:
+    """Load a checkpoint file (.safetensors or torch .pt/.pth) as numpy."""
+    if str(path).endswith((".safetensors", ".sft", ".sfts")):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    pkg = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(pkg, dict) and "model" in pkg and isinstance(pkg["model"], dict):
+        pkg = pkg["model"]
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in pkg.items()}
+
+
+def load_mimi(path: str, model: MimiModel) -> Params:
+    return convert_mimi(load_torch_state_dict(path), model)

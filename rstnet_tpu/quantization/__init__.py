@@ -1,0 +1,13 @@
+"""Residual vector quantization: inference codebooks + EMA training updates."""
+
+from rstnet_tpu.quantization.codebook import EuclideanCodebook
+from rstnet_tpu.quantization.rvq import (
+    ResidualVectorQuantizer,
+    SplitResidualVectorQuantizer,
+)
+
+__all__ = [
+    "EuclideanCodebook",
+    "ResidualVectorQuantizer",
+    "SplitResidualVectorQuantizer",
+]

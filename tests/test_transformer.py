@@ -71,48 +71,10 @@ def test_weights_per_step_stream_equals_offline():
 
 def _torch_to_params(torch, ttr, module: StreamingTransformer):
     """Map a reference StreamingTransformer state to stacked params."""
-    sd = {k: v.detach().numpy() for k, v in ttr.state_dict().items()}
-    L = module.num_layers
-    layers = {}
+    from rstnet_tpu.models.convert import convert_streaming_transformer
 
-    def stack(fn):
-        return jnp.stack([jnp.asarray(fn(i)) for i in range(L)])
-
-    layers["in_proj"] = stack(lambda i: sd[f"layers.{i}.self_attn.in_proj_weight"])
-    layers["out_proj"] = stack(lambda i: sd[f"layers.{i}.self_attn.out_proj.weight"])
-    for n in ("norm1", "norm2"):
-        if f"layers.0.{n}.alpha" in sd:
-            layers[n] = {"alpha": stack(lambda i: sd[f"layers.{i}.{n}.alpha"].reshape(-1))}
-        else:
-            layers[n] = {
-                "weight": stack(lambda i: sd[f"layers.{i}.{n}.weight"]),
-                "bias": stack(lambda i: sd[f"layers.{i}.{n}.bias"]),
-            }
-    if module.gating == "none":
-        layers["linear1"] = stack(lambda i: sd[f"layers.{i}.linear1.weight"])
-        layers["linear2"] = stack(lambda i: sd[f"layers.{i}.linear2.weight"])
-    elif module.weights_per_step:
-        layers["gating"] = {
-            "linear_in": stack(
-                lambda i: np.stack(
-                    [sd[f"layers.{i}.gating.{s}.linear_in.weight"] for s in range(module.weights_per_step)]
-                )
-            ),
-            "linear_out": stack(
-                lambda i: np.stack(
-                    [sd[f"layers.{i}.gating.{s}.linear_out.weight"] for s in range(module.weights_per_step)]
-                )
-            ),
-        }
-    else:
-        layers["gating"] = {
-            "linear_in": stack(lambda i: sd[f"layers.{i}.gating.linear_in.weight"]),
-            "linear_out": stack(lambda i: sd[f"layers.{i}.gating.linear_out.weight"]),
-        }
-    if module.layer_scale is not None:
-        layers["layer_scale_1"] = {"scale": stack(lambda i: sd[f"layers.{i}.layer_scale_1.scale"])}
-        layers["layer_scale_2"] = {"scale": stack(lambda i: sd[f"layers.{i}.layer_scale_2.scale"])}
-    return {"layers": layers}
+    sd = {f"t.{k}": v.detach().numpy() for k, v in ttr.state_dict().items()}
+    return convert_streaming_transformer(sd, "t", module)
 
 
 class TestTorchParity:
