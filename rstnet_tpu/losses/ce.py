@@ -1,0 +1,58 @@
+"""Per-stream weighted cross entropy with masks and accuracies.
+
+Capability parity with ``MLLM_v2/models/model.py:31-65``
+(CrossEntropyAndAccuracy): for each stream k the CE is masked by a
+per-token loss-weight mask, tokens equal to ``ignore_ids[k]`` contribute no
+loss, the stream loss is ``sum(masked_ce) / count(mask != 0) * weight``, and
+two accuracies are reported: over all unmasked tokens and over tokens whose
+mask is exactly 1 (the "target" tokens; empty/padding tokens carry
+down-weighted masks in the collate).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_and_accuracy(
+    logits: jax.Array,
+    targets: jax.Array,
+    masks: jax.Array,
+    loss_weights: tuple[float, ...],
+    ignore_ids: tuple[int, ...],
+) -> tuple[jax.Array, dict]:
+    """logits: [B, T, K, V]; targets/masks: [B, K, T] (stream-major, matching
+    the reference's collated grids). Returns (scalar loss, metrics)."""
+    B, T, K, V = logits.shape
+    assert targets.shape == (B, K, T) and masks.shape == (B, K, T)
+    lw = jnp.asarray(loss_weights, jnp.float32)
+    ign = jnp.asarray(ignore_ids, jnp.int32)
+
+    logits_f = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits_f, axis=-1)  # [B, T, K, V]
+    tgt = jnp.transpose(targets, (0, 2, 1))  # [B, T, K]
+    msk = jnp.transpose(masks, (0, 2, 1)).astype(jnp.float32)
+
+    tgt_clamped = jnp.clip(tgt, 0, V - 1)
+    nll = -jnp.take_along_axis(logp, tgt_clamped[..., None], axis=-1)[..., 0]
+    ignored = tgt == ign[None, None, :]
+    nll = jnp.where(ignored, 0.0, nll)
+    nll = nll * msk
+
+    num_tokens = jnp.sum((msk != 0.0).astype(jnp.float32), axis=(0, 1))  # [K]
+    num_target = jnp.sum((msk == 1.0).astype(jnp.float32), axis=(0, 1))
+    pred = jnp.argmax(logits_f, axis=-1)
+    correct = (pred == tgt).astype(jnp.float32)
+    acc_all_k = jnp.sum(correct * (msk != 0.0), axis=(0, 1))
+    acc_target_k = jnp.sum(correct * (msk == 1.0), axis=(0, 1))
+
+    safe = jnp.maximum(num_tokens, 1.0)
+    per_stream = jnp.sum(nll, axis=(0, 1)) / safe  # [K]
+    loss = jnp.sum(per_stream * lw)
+    metrics = {
+        "acc_all": jnp.sum(acc_all_k) / jnp.maximum(jnp.sum(num_tokens), 1.0),
+        "acc_target": jnp.sum(acc_target_k) / jnp.maximum(jnp.sum(num_target), 1.0),
+        "loss": loss,
+    }
+    return loss, metrics

@@ -1,0 +1,369 @@
+"""Decoder-only LLM backbone (litgpt-capability) with streaming ring-KV.
+
+Capability parity with ``MLLM_v2/models/lit_model.py`` (GPT:19, Block:179,
+CausalSelfAttention:243, GptNeoxMLP/LLaMAMLP/GemmaMLP/LLaMAMoE:376-438,
+build_rope_cache:441, RMSNorm:693) and the streaming rewrite of
+``models/llama_streaming.py:775-1010`` (LLAMAStreamingTransformer, windowed
+causal bias, offset-indexed RoPE): MHA/GQA/MQA in one packed QKV layout,
+partial rotary with Llama-3.1 adjustments, sliding-window layers, logit
+softcapping, MoE, parallel/sequential residual, and a ring-KV streaming step.
+
+TPU-first: blocks are stacked along a leading layer axis and iterated with
+``lax.scan``; per-layer sliding-window sizes ride the scan as data; the KV
+cache stores *unexpanded* GQA heads. LoRA attaches as optional ``lora``
+sub-dicts on any linear (see ``rstnet_tpu/models/lora.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rstnet_tpu.core import Params, State
+from rstnet_tpu.models.config import Config, rope_extra_config
+from rstnet_tpu.ops.attention import ring_kv_update
+from rstnet_tpu.ops.rope import apply_rope_halved, build_rope_cache
+
+_NEG_INF = float("-inf")
+
+
+def linear(params: Params, x: jax.Array, scaling: float = 1.0) -> jax.Array:
+    """Linear with optional fused LoRA branch (``lora`` sub-dict)."""
+    y = x @ params["weight"].T.astype(x.dtype)
+    if "lora" in params:
+        lp = params["lora"]
+        y = y + (x @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * scaling
+    if "bias" in params:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def _linear_init(key, out_dim, in_dim, use_bias, dtype):
+    bound = 1.0 / math.sqrt(in_dim)
+    k1, k2 = jax.random.split(key)
+    p = {"weight": jax.random.uniform(k1, (out_dim, in_dim), dtype, -bound, bound)}
+    if use_bias:
+        p["bias"] = jax.random.uniform(k2, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+@dataclasses.dataclass(frozen=True)
+class Backbone:
+    """The temporal transformer. Operates on embeddings (callers fuse their
+    own token/audio embeddings); ``wte`` is provided for text-only use."""
+
+    config: Config
+
+    @property
+    def cfg(self) -> Config:
+        return self.config
+
+    # -- init ----------------------------------------------------------------
+
+    def _init_block(self, key: jax.Array, dtype) -> Params:
+        cfg = self.cfg
+        keys = jax.random.split(key, 10)
+        qkv_shape = (cfg.n_head + 2 * cfg.n_query_groups) * cfg.head_size
+        p: Params = {
+            "norm_1": _norm_init(cfg, dtype),
+            "attn": _linear_init(keys[0], qkv_shape, cfg.n_embd, cfg.attn_bias or cfg.bias, dtype),
+            "proj": _linear_init(keys[1], cfg.n_embd, cfg.head_size * cfg.n_head, cfg.bias, dtype),
+            "mlp": self._init_mlp(keys[2], dtype),
+        }
+        if not cfg.shared_attention_norm:
+            p["norm_2"] = _norm_init(cfg, dtype)
+        if cfg.post_attention_norm:
+            p["post_attention_norm"] = _norm_init(cfg, dtype)
+        if cfg.post_mlp_norm:
+            p["post_mlp_norm"] = _norm_init(cfg, dtype)
+        return p
+
+    def _init_mlp(self, key: jax.Array, dtype) -> Params:
+        cfg = self.cfg
+        keys = jax.random.split(key, 4)
+        if cfg.mlp_class_name == "GptNeoxMLP":
+            return {
+                "fc": _linear_init(keys[0], cfg.intermediate_size, cfg.n_embd, cfg.bias, dtype),
+                "proj": _linear_init(keys[1], cfg.n_embd, cfg.intermediate_size, cfg.bias, dtype),
+            }
+        if cfg.mlp_class_name in ("LLaMAMLP", "GemmaMLP"):
+            return {
+                "fc_1": _linear_init(keys[0], cfg.intermediate_size, cfg.n_embd, cfg.bias, dtype),
+                "fc_2": _linear_init(keys[1], cfg.intermediate_size, cfg.n_embd, cfg.bias, dtype),
+                "proj": _linear_init(keys[2], cfg.n_embd, cfg.intermediate_size, cfg.bias, dtype),
+            }
+        if cfg.mlp_class_name == "LLaMAMoE":
+            ekeys = jax.random.split(keys[1], cfg.n_expert)
+
+            def one(k):
+                ks = jax.random.split(k, 3)
+                return {
+                    "fc_1": _linear_init(ks[0], cfg.intermediate_size, cfg.n_embd, False, dtype),
+                    "fc_2": _linear_init(ks[1], cfg.intermediate_size, cfg.n_embd, False, dtype),
+                    "proj": _linear_init(ks[2], cfg.n_embd, cfg.intermediate_size, False, dtype),
+                }
+
+            return {
+                "gate": _linear_init(keys[0], cfg.n_expert, cfg.n_embd, False, dtype),
+                "experts": jax.vmap(one)(ekeys),
+            }
+        raise ValueError(cfg.mlp_class_name)
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        cfg = self.cfg
+        keys = jax.random.split(key, cfg.n_layer + 3)
+        blocks = jax.vmap(lambda k: self._init_block(k, dtype))(keys[: cfg.n_layer])
+        p: Params = {
+            "wte": jax.random.normal(keys[-3], (cfg.padded_vocab_size, cfg.n_embd), dtype) * 0.02,
+            "blocks": blocks,
+            "ln_f": _norm_init(cfg, dtype),
+            "lm_head": _linear_init(keys[-2], cfg.padded_vocab_size, cfg.n_embd, cfg.lm_head_bias, dtype),
+        }
+        return p
+
+    # -- rope ----------------------------------------------------------------
+
+    def rope(self, positions: jax.Array) -> tuple[jax.Array, jax.Array]:
+        cfg = self.cfg
+        return build_rope_cache(
+            0, cfg.rope_n_elem, base=cfg.rope_base,
+            condense_ratio=cfg.rope_condense_ratio,
+            extra_config=rope_extra_config(cfg),
+            positions=positions.astype(jnp.float32),
+        )
+
+    # -- per-layer window sizes (sliding-window placement) --------------------
+
+    def layer_windows(self) -> jax.Array:
+        """Per-layer attention window (0 = use config.context / full)."""
+        cfg = self.cfg
+        out = []
+        for i in range(cfg.n_layer):
+            if cfg.sliding_window_size is not None and i % cfg.sliding_window_layer_stride == 0:
+                out.append(cfg.sliding_window_size)
+            else:
+                out.append(0)
+        return jnp.asarray(out, jnp.int32)
+
+    # -- attention ------------------------------------------------------------
+
+    def _qkv(self, block: Params, x: jax.Array):
+        cfg = self.cfg
+        B, T, _ = x.shape
+        scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
+        qkv = linear(block["attn"], x, scaling)
+        q_per_kv = cfg.n_head // cfg.n_query_groups
+        qkv = qkv.reshape(B, T, cfg.n_query_groups, q_per_kv + 2, cfg.head_size)
+        qkv = jnp.transpose(qkv, (0, 2, 3, 1, 4))  # [B, G, q_per_kv+2, T, hs]
+        q = qkv[:, :, :q_per_kv].reshape(B, cfg.n_head, T, cfg.head_size)
+        k = qkv[:, :, q_per_kv].reshape(B, cfg.n_query_groups, T, cfg.head_size)
+        v = qkv[:, :, q_per_kv + 1].reshape(B, cfg.n_query_groups, T, cfg.head_size)
+
+        def lora_delta(lp, heads):
+            d = (x @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * scaling
+            return jnp.transpose(d.reshape(B, T, heads, cfg.head_size), (0, 2, 1, 3))
+
+        attn = block["attn"]
+        if "lora_q" in attn:
+            q = q + lora_delta(attn["lora_q"], cfg.n_head)
+        if "lora_k" in attn:
+            k = k + lora_delta(attn["lora_k"], cfg.n_query_groups)
+        if "lora_v" in attn:
+            v = v + lora_delta(attn["lora_v"], cfg.n_query_groups)
+        return q, k, v
+
+    def _rope_qk(self, q, k, cos, sin):
+        n = self.cfg.rope_n_elem
+        q = jnp.concatenate([apply_rope_halved(q[..., :n], cos, sin), q[..., n:]], -1)
+        k = jnp.concatenate([apply_rope_halved(k[..., :n], cos, sin), k[..., n:]], -1)
+        return q, k
+
+    def _attention(self, q, k, v, pos_q, pos_k, window):
+        """Windowed-causal attention with GQA repeat, f32 softmax, and
+        optional logit softcapping. ``window``: traced per-layer scalar
+        (0 = no sliding window; config.context still applies)."""
+        cfg = self.cfg
+        B, H, Tq, D = q.shape
+        if k.shape[1] != H:
+            rep = H // k.shape[1]
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
+        logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32) * scale
+        if cfg.attention_logit_softcapping is not None:
+            cap = cfg.attention_logit_softcapping
+            logits = jnp.tanh(logits / cap) * cap
+        delta = pos_q[:, None] - pos_k[None, :]
+        mask = (pos_k[None, :] >= 0) & (delta >= 0)
+        if cfg.context is not None:
+            mask = mask & (delta < cfg.context)
+        mask = mask & ((window <= 0) | (delta < window))
+        logits = jnp.where(mask[None, None], logits, _NEG_INF)
+        att = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhts,bhsd->bhtd", att.astype(v.dtype), v)
+
+    # -- block ----------------------------------------------------------------
+
+    def _block(self, block: Params, x, cos, sin, pos_q, pos_k, window, kv_cache, offset):
+        cfg = self.cfg
+        B, T, _ = x.shape
+        x_normed = _norm_apply(cfg, block["norm_1"], x)
+        q, k, v = self._qkv(block, x_normed)
+        q, k = self._rope_qk(q, k, cos, sin)
+        if kv_cache is not None:
+            kv_cache, pos_k, _ = ring_kv_update(kv_cache, offset, k, v)
+            k, v = kv_cache["k"], kv_cache["v"]
+        y = self._attention(q, k, v, pos_q, pos_k, window)
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, cfg.head_size * cfg.n_head)
+        scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
+        attn_out = linear(block["proj"], y, scaling)
+        if cfg.post_attention_norm:
+            attn_out = _norm_apply(cfg, block["post_attention_norm"], attn_out)
+        if cfg.parallel_residual:
+            mlp_in = x_normed if cfg.shared_attention_norm else _norm_apply(cfg, block["norm_2"], x)
+            x = self._mlp(block["mlp"], mlp_in) + attn_out + x
+        else:
+            x = attn_out + x
+            h = self._mlp(block["mlp"], _norm_apply(cfg, block["norm_2"], x))
+            if cfg.post_mlp_norm:
+                h = _norm_apply(cfg, block["post_mlp_norm"], h)
+            x = h + x
+        return x, kv_cache
+
+    def _mlp(self, mlp: Params, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
+        approx = cfg.gelu_approximate != "none"
+        if cfg.mlp_class_name == "GptNeoxMLP":
+            h = jax.nn.gelu(linear(mlp["fc"], x, scaling), approximate=approx)
+            return linear(mlp["proj"], h, scaling)
+        if cfg.mlp_class_name == "LLaMAMLP":
+            h = jax.nn.silu(linear(mlp["fc_1"], x, scaling)) * linear(mlp["fc_2"], x, scaling)
+            return linear(mlp["proj"], h, scaling)
+        if cfg.mlp_class_name == "GemmaMLP":
+            h = jax.nn.gelu(linear(mlp["fc_1"], x, scaling), approximate=approx) * linear(
+                mlp["fc_2"], x, scaling
+            )
+            return linear(mlp["proj"], h, scaling)
+        if cfg.mlp_class_name == "LLaMAMoE":
+            return self._moe(mlp, x)
+        raise ValueError(cfg.mlp_class_name)
+
+    def _moe(self, mlp: Params, x: jax.Array) -> jax.Array:
+        """Dense top-k mixture-of-experts (``lit_model.py:414-438``): router
+        softmax over top-k, combine via a dense one-hot weight matrix —
+        XLA-friendly; expert parallelism shards the expert axis later."""
+        cfg = self.cfg
+        B, T, C = x.shape
+        flat = x.reshape(-1, C)
+        router = linear(mlp["gate"], flat)
+        probs, indices = lax.top_k(router, cfg.n_expert_per_token)
+        probs = jax.nn.softmax(probs.astype(jnp.float32), axis=-1).astype(x.dtype)
+        combine = jax.nn.one_hot(indices, cfg.n_expert, dtype=x.dtype) * probs[..., None]
+        combine = jnp.sum(combine, axis=1)  # [N, E]
+        e = mlp["experts"]
+        h1 = jnp.einsum("nd,eid->nei", flat, e["fc_1"]["weight"].astype(x.dtype))
+        h2 = jnp.einsum("nd,eid->nei", flat, e["fc_2"]["weight"].astype(x.dtype))
+        h = jax.nn.silu(h1) * h2
+        y = jnp.einsum("nei,edi->ned", h, e["proj"]["weight"].astype(x.dtype))
+        y = jnp.einsum("ned,ne->nd", y, combine)
+        return y.reshape(B, T, C)
+
+    # -- forward ---------------------------------------------------------------
+
+    def embed(self, params: Params, tokens: jax.Array) -> jax.Array:
+        x = jnp.take(params["wte"], tokens, axis=0)
+        if self.cfg.scale_embeddings:
+            x = x * jnp.asarray(self.cfg.n_embd**0.5, x.dtype)
+        return x
+
+    def __call__(self, params: Params, x: jax.Array, offset: jax.Array | int = 0) -> jax.Array:
+        """Offline forward over embeddings: [B, T, D] -> [B, T, D] (post ln_f)."""
+        T = x.shape[1]
+        positions = jnp.asarray(offset) + jnp.arange(T)
+        cos, sin = self.rope(positions)
+        cos = cos.astype(x.dtype)
+        sin = sin.astype(x.dtype)
+        pos = positions.astype(jnp.int32)
+        windows = self.layer_windows()
+
+        def body(h, inp):
+            block, window = inp
+            h, _ = self._block(block, h, cos, sin, pos, pos, window, None, 0)
+            return h, None
+
+        x, _ = lax.scan(body, x, (params["blocks"], windows))
+        return _norm_apply(self.cfg, params["ln_f"], x)
+
+    def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
+        out = linear(params["lm_head"], hidden, scaling)
+        if cfg.final_logit_softcapping is not None:
+            cap = cfg.final_logit_softcapping
+            out = jnp.tanh(out / cap) * cap
+        return out
+
+    def forward_tokens(self, params: Params, tokens: jax.Array) -> jax.Array:
+        return self.logits(params, self(params, self.embed(params, tokens)))
+
+    # -- streaming --------------------------------------------------------------
+
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1) -> State:
+        cfg = self.cfg
+        assert cfg.context is not None, "streaming needs config.context to bound the KV ring"
+        cap = cfg.context + chunk_size - 1
+        shape = (cfg.n_layer, batch_size, cfg.n_query_groups, cap, cfg.head_size)
+        return {
+            "kv": {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)},
+            "offset": jnp.zeros((), jnp.int32),
+        }
+
+    def step(self, params: Params, state: State, x: jax.Array) -> tuple[jax.Array, State]:
+        """Streaming chunk over embeddings with ring-KV caches."""
+        T = x.shape[1]
+        offset = state["offset"]
+        positions = offset + jnp.arange(T)
+        cos, sin = self.rope(positions)
+        cos = cos.astype(x.dtype)
+        sin = sin.astype(x.dtype)
+        pos_q = positions.astype(jnp.int32)
+        windows = self.layer_windows()
+
+        def body(h, inp):
+            block, window, kv = inp
+            h, new_kv = self._block(block, h, cos, sin, pos_q, None, window, kv, offset)
+            return h, new_kv
+
+        x, new_kv = lax.scan(body, x, (params["blocks"], windows, state["kv"]))
+        x = _norm_apply(self.cfg, params["ln_f"], x)
+        return x, {"kv": new_kv, "offset": offset + T}
+
+
+def _norm_init(cfg: Config, dtype) -> Params:
+    if cfg.norm_class_name == "RMSNorm":
+        return {"weight": jnp.ones((cfg.n_embd,), dtype)}
+    return {"weight": jnp.ones((cfg.n_embd,), dtype), "bias": jnp.zeros((cfg.n_embd,), dtype)}
+
+
+def _norm_apply(cfg: Config, params: Params, x: jax.Array) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if cfg.norm_class_name == "RMSNorm":
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        normed = xf * lax.rsqrt(var + cfg.norm_eps)
+        w = params["weight"].astype(jnp.float32)
+        if "Gemma" in cfg.name or "gemma" in cfg.name:
+            w = 1.0 + w
+        return (normed * w).astype(dtype)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = (xf - mean) * lax.rsqrt(var + cfg.norm_eps)
+    return (
+        normed * params["weight"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    ).astype(dtype)

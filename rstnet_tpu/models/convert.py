@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -189,6 +190,107 @@ def convert_mimi(sd: SD, model: MimiModel) -> Params:
     if model.downsample is not None:
         p["downsample"] = _conv_params(sd, "downsample.conv.conv.conv", False)
         p["upsample"] = _conv_params(sd, "upsample.convtr.convtr.convtr", False)
+    return p
+
+
+def _lin(sd: SD, prefix: str, want_bias: bool = True) -> Params:
+    """Linear at ``prefix``; resolves both plain ``X.weight`` and the
+    reference's LoRALinear nesting ``X.linear.weight``."""
+    for cand in (prefix, f"{prefix}.linear"):
+        if f"{cand}.weight" in sd:
+            p: Params = {"weight": _get(sd, f"{cand}.weight")}
+            if want_bias and f"{cand}.bias" in sd:
+                p["bias"] = _get(sd, f"{cand}.bias")
+            return p
+    raise KeyError(f"no linear weight under {prefix}")
+
+
+def convert_backbone(sd: SD, cfg, prefix: str = "") -> Params:
+    """litgpt-layout checkpoint (``models/lit_model.py`` naming, also the
+    flagship's LoRA-nested variant) -> Backbone params."""
+
+    def block(i: int) -> Params:
+        b = f"{prefix}transformer.h.{i}"
+        p: Params = {
+            "norm_1": _norm_sd(sd, f"{b}.norm_1"),
+            "attn": _lin(sd, f"{b}.attn.attn"),
+            "proj": _lin(sd, f"{b}.attn.proj"),
+        }
+        if not cfg.shared_attention_norm:
+            p["norm_2"] = _norm_sd(sd, f"{b}.norm_2")
+        if cfg.post_attention_norm:
+            p["post_attention_norm"] = _norm_sd(sd, f"{b}.post_attention_norm")
+        if cfg.post_mlp_norm:
+            p["post_mlp_norm"] = _norm_sd(sd, f"{b}.post_mlp_norm")
+        if cfg.mlp_class_name == "GptNeoxMLP":
+            p["mlp"] = {"fc": _lin(sd, f"{b}.mlp.fc"), "proj": _lin(sd, f"{b}.mlp.proj")}
+        elif cfg.mlp_class_name in ("LLaMAMLP", "GemmaMLP"):
+            p["mlp"] = {
+                "fc_1": _lin(sd, f"{b}.mlp.fc_1"),
+                "fc_2": _lin(sd, f"{b}.mlp.fc_2"),
+                "proj": _lin(sd, f"{b}.mlp.proj"),
+            }
+        else:  # LLaMAMoE
+            p["mlp"] = {
+                "gate": _lin(sd, f"{b}.mlp.gate"),
+                "experts": jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[
+                        {
+                            "fc_1": _lin(sd, f"{b}.mlp.experts.{e}.fc_1"),
+                            "fc_2": _lin(sd, f"{b}.mlp.experts.{e}.fc_2"),
+                            "proj": _lin(sd, f"{b}.mlp.experts.{e}.proj"),
+                        }
+                        for e in range(cfg.n_expert)
+                    ],
+                ),
+            }
+        return p
+
+    blocks = [block(i) for i in range(cfg.n_layer)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return {
+        "wte": _get(sd, f"{prefix}transformer.wte.weight"),
+        "blocks": stacked,
+        "ln_f": _norm_sd(sd, f"{prefix}transformer.ln_f"),
+        "lm_head": _lin(sd, f"{prefix}lm_head"),
+    }
+
+
+def _norm_sd(sd: SD, prefix: str) -> Params:
+    p: Params = {"weight": _get(sd, f"{prefix}.weight")}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _get(sd, f"{prefix}.bias")
+    return p
+
+
+def convert_speech_lm(sd: SD, model) -> Params:
+    """Flagship GPT checkpoint (``models/llama_streaming.py`` naming) ->
+    SpeechTextLM params."""
+    cfg = model.config
+    p: Params = {
+        "backbone": convert_backbone(sd, cfg),
+        "codecformer": convert_streaming_transformer(sd, "codecformer", model.codecformer),
+        "input_emb": jnp.stack(
+            [_get(sd, f"input_emb.{k}.weight") for k in range(cfg.n_q)]
+        ),
+        "codecformer_text_emb": _get(sd, "codecformer_text_emb.weight"),
+        "codecformer_emb": jnp.stack(
+            [_get(sd, f"codecformer_emb.{k}.weight") for k in range(cfg.dep_q - 1)]
+        ),
+        "codecformer_in": jnp.stack(
+            [_lin(sd, f"codecformer_in.{k}", False)["weight"] for k in range(cfg.dep_q)]
+        ),
+        "audio_linears": {
+            "weight": jnp.stack(
+                [_lin(sd, f"audio_linears.{k}", False)["weight"] for k in range(cfg.dep_q)]
+            )
+        },
+    }
+    if cfg.codecformer_bias_proj:
+        p["audio_linears"]["bias"] = jnp.stack(
+            [_get(sd, f"audio_linears.{k}.bias") for k in range(cfg.dep_q)]
+        )
     return p
 
 

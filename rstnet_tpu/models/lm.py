@@ -1,0 +1,269 @@
+"""Flagship speech-text LM: pretrained LLM backbone + codecformer.
+
+Capability parity with ``MLLM_v2/models/llama_streaming.py:520-766`` (GPT):
+the *global* temporal transformer is any Backbone from the config registry
+(LoRA-injectable); the *local* codecformer is a depth transformer over the
+``dep_q`` audio codebooks with per-step weights. Input fusion sums one text
+embedding and ``n_q`` audio-codebook embeddings per frame
+(``forward_global:665-692``); the codecformer consumes per-codebook linear
+views of the backbone output plus previous-codebook embeddings
+(``forward_local:694-725``); ``forward_codecformer:727-749`` is the
+single-step inference path.
+
+Special ids (``llama_streaming.py:592-624``): ``zero_token_id=-1`` embeds to
+exactly zero; ``initial_token_id=audio_card``; text initial id is
+tokenizer-dependent (config field); ``ungenerated=-2`` marks positions to be
+sampled during partial teacher forcing.
+
+TPU-first notes: the n_q embedding-sum is one flattened gather instead of a
+Python loop; ``forward_local`` runs all B*T frames through the codecformer as
+a batch of dep_q-step sequences; per-codebook linears are stacked einsums.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+
+from rstnet_tpu.core import Params, State
+from rstnet_tpu.models.backbone import Backbone, linear
+from rstnet_tpu.models.config import Config
+from rstnet_tpu.modules.transformer import StreamingTransformer
+
+ZERO_TOKEN_ID = -1
+UNGENERATED_TOKEN_ID = -2
+
+
+def scaled_embedding(
+    table: jax.Array, tokens: jax.Array, zero_idx: int = ZERO_TOKEN_ID
+) -> jax.Array:
+    """Embedding where ``zero_idx`` rows output exactly 0
+    (``llama_streaming.py:493-518``)."""
+    is_zero = tokens == zero_idx
+    y = jnp.take(table, jnp.clip(tokens, 0, None), axis=0)
+    return jnp.where(is_zero[..., None], 0.0, y)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeechTextLM:
+    config: Config
+
+    @cached_property
+    def backbone(self) -> Backbone:
+        return Backbone(self.config)
+
+    @cached_property
+    def codecformer(self) -> StreamingTransformer:
+        cfg = self.config
+        return StreamingTransformer(
+            d_model=cfg.codecformer_dim,
+            num_heads=cfg.codecformer_heads,
+            num_layers=cfg.codecformer_layers,
+            dim_feedforward=cfg.codecformer_dim_feedforward,
+            causal=True,
+            context=None,
+            gating="silu",
+            norm=cfg.codecformer_norm,
+            positional_embedding="none",
+            max_period=10000,
+            layer_scale=None,
+            weights_per_step=cfg.dep_q if cfg.codecformer_weights_per_step else 0,
+        )
+
+    # -- special tokens -------------------------------------------------------
+
+    @property
+    def zero_token_id(self) -> int:
+        return ZERO_TOKEN_ID
+
+    @property
+    def initial_token_id(self) -> int:
+        return self.config.audio_card
+
+    @property
+    def text_initial_token_id(self) -> int:
+        # Tokenizer-dependent reserved token (llama3: 128002, qwen: 151655).
+        return getattr(self.config, "text_initial_id", None) or (
+            128002 if self.config.padded_vocab_size > 128000 else 3
+        )
+
+    @property
+    def ungenerated_token_id(self) -> int:
+        return UNGENERATED_TOKEN_ID
+
+    @property
+    def num_codebooks(self) -> int:
+        return self.config.n_q + 1
+
+    # -- init -------------------------------------------------------------------
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        cfg = self.config
+        keys = jax.random.split(key, 8)
+        card1 = cfg.audio_card + 1
+        p: Params = {
+            "backbone": self.backbone.init(keys[0], dtype),
+            "codecformer": self.codecformer.init(keys[1], dtype),
+            "input_emb": jax.random.normal(keys[2], (cfg.n_q, card1, cfg.n_embd), dtype),
+            "codecformer_text_emb": jax.random.normal(
+                keys[3], (cfg.padded_vocab_size, cfg.codecformer_dim), dtype
+            ),
+            "codecformer_emb": jax.random.normal(
+                keys[4], (cfg.dep_q - 1, card1, cfg.codecformer_dim), dtype
+            ),
+            "codecformer_in": jax.random.uniform(
+                keys[5], (cfg.dep_q, cfg.codecformer_dim, cfg.n_embd), dtype,
+                -1.0 / cfg.n_embd**0.5, 1.0 / cfg.n_embd**0.5,
+            ),
+            "audio_linears": {
+                "weight": jax.random.uniform(
+                    keys[6], (cfg.dep_q, cfg.audio_card, cfg.codecformer_dim), dtype,
+                    -1.0 / cfg.codecformer_dim**0.5, 1.0 / cfg.codecformer_dim**0.5,
+                )
+            },
+        }
+        if cfg.codecformer_bias_proj:
+            p["audio_linears"]["bias"] = jnp.zeros((cfg.dep_q, cfg.audio_card), dtype)
+        return p
+
+    # -- input fusion -----------------------------------------------------------
+
+    def initial_frame(self, batch_size: int) -> jax.Array:
+        """[B, 1+n_q, 1] start-of-sequence frame (``_get_initial_token``)."""
+        text = jnp.full((batch_size, 1, 1), self.text_initial_token_id, jnp.int32)
+        audio = jnp.full((batch_size, self.config.n_q, 1), self.initial_token_id, jnp.int32)
+        return jnp.concatenate([text, audio], axis=1)
+
+    def fuse_embeddings(self, params: Params, sequence: jax.Array) -> jax.Array:
+        """Sum text + n_q audio embeddings: [B, 1+n_q, T] -> [B, T, D].
+
+        One flattened gather over the stacked [n_q, card+1, D] table replaces
+        the reference's per-codebook Python loop (llama_streaming.py:676-683).
+        """
+        cfg = self.config
+        card1 = cfg.audio_card + 1
+        audio_tokens = sequence[:, 1:, :]  # [B, n_q, T]
+        flat_table = params["input_emb"].reshape(cfg.n_q * card1, cfg.n_embd)
+        idx = jnp.clip(audio_tokens, 0, None) + (
+            jnp.arange(cfg.n_q, dtype=audio_tokens.dtype)[None, :, None] * card1
+        )
+        emb = jnp.take(flat_table, idx, axis=0)  # [B, n_q, T, D]
+        emb = jnp.where((audio_tokens == self.zero_token_id)[..., None], 0.0, emb)
+        x = jnp.sum(emb, axis=1)  # [B, T, D]
+        x = x + jnp.take(params["backbone"]["wte"], sequence[:, 0, :], axis=0)
+        if cfg.scale_embeddings:
+            x = x * jnp.asarray(cfg.n_embd**0.5, x.dtype)
+        return x
+
+    # -- training forward ---------------------------------------------------------
+
+    def forward_global(
+        self, params: Params, sequence: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """[B, 1+n_q, T] -> (transformer_out [B,T,D], text_logits [B,T,V])."""
+        x = self.fuse_embeddings(params, sequence)
+        hidden = self.backbone(params["backbone"], x)
+        return hidden, self.backbone.logits(params["backbone"], hidden)
+
+    def forward_local(
+        self,
+        params: Params,
+        text_tokens: jax.Array,
+        audio_targets: jax.Array,
+        transformer_out: jax.Array,
+    ) -> jax.Array:
+        """Codecformer teacher-forced forward.
+
+        text_tokens: [B, T] (target text, step-0 conditioning);
+        audio_targets: [B, dep_q, T] (targets; steps 1.. use codebook k-1);
+        transformer_out: [B, T, D]. Returns audio logits [B, T, dep_q, card].
+        """
+        cfg = self.config
+        B, T, D = transformer_out.shape
+        # Per-codebook linear views of the backbone output.
+        dep_in = jnp.einsum(
+            "btd,kcd->btkc", transformer_out,
+            params["codecformer_in"].astype(transformer_out.dtype),
+        )  # [B, T, dep_q, C]
+        # Previous-token embeddings per step.
+        prev = [scaled_embedding(params["codecformer_text_emb"], text_tokens)]
+        for k in range(cfg.dep_q - 1):
+            prev.append(
+                scaled_embedding(params["codecformer_emb"][k], audio_targets[:, k, :])
+            )
+        prev_emb = jnp.stack(prev, axis=2)  # [B, T, dep_q, C]
+        x = (dep_in + prev_emb).reshape(B * T, cfg.dep_q, cfg.codecformer_dim)
+        out = self.codecformer(params["codecformer"], x)  # [B*T, dep_q, C]
+        logits = jnp.einsum(
+            "nkc,kvc->nkv", out, params["audio_linears"]["weight"].astype(out.dtype)
+        )
+        if "bias" in params["audio_linears"]:
+            logits = logits + params["audio_linears"]["bias"].astype(logits.dtype)
+        return logits.reshape(B, T, cfg.dep_q, cfg.audio_card)
+
+    def __call__(
+        self, params: Params, sequence: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """Training forward (``llama_streaming.py:651-663``).
+
+        sequence: [B, 1+n_q, S] token grid (text row 0, audio rows 1..n_q).
+        Returns (audio_logits [B,S,dep_q,card], text_logits [B,S,V]).
+        """
+        B, K, S = sequence.shape
+        assert K == self.num_codebooks
+        start = jnp.broadcast_to(self.initial_frame(B), (B, K, 1)).astype(sequence.dtype)
+        global_input = jnp.concatenate([start, sequence[:, :, :-1]], axis=2)
+        transformer_out, text_logits = self.forward_global(params, global_input)
+        audio_logits = self.forward_local(
+            params,
+            sequence[:, 0, :],
+            sequence[:, 1 : self.config.dep_q + 1, :],
+            transformer_out,
+        )
+        return audio_logits, text_logits
+
+    # -- streaming inference pieces ------------------------------------------------
+
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16) -> State:
+        return self.backbone.init_state(batch_size, dtype)
+
+    def step_global(
+        self, params: Params, state: State, frame: jax.Array
+    ) -> tuple[jax.Array, jax.Array, State]:
+        """One temporal step: frame [B, 1+n_q, 1] -> (hidden [B,1,D],
+        text_logits [B,1,V], state)."""
+        x = self.fuse_embeddings(params, frame)
+        hidden, state = self.backbone.step(params["backbone"], state, x)
+        return hidden, self.backbone.logits(params["backbone"], hidden), state
+
+    def step_codecformer(
+        self,
+        params: Params,
+        cf_state: State,
+        cb_index: int,
+        prev_token: jax.Array,
+        transformer_out: jax.Array,
+    ) -> tuple[jax.Array, State]:
+        """One depth step (static ``cb_index``): prev_token [B, 1],
+        transformer_out [B, 1, D] -> (logits [B, 1, card], cf_state).
+        Parity: ``forward_codecformer`` (llama_streaming.py:727-749)."""
+        cfg = self.config
+        dep_in = transformer_out @ params["codecformer_in"][cb_index].T.astype(
+            transformer_out.dtype
+        )
+        if cb_index == 0:
+            emb = scaled_embedding(params["codecformer_text_emb"], prev_token)
+        else:
+            emb = scaled_embedding(params["codecformer_emb"][cb_index - 1], prev_token)
+        x = dep_in + emb  # [B, 1, C]
+        out, cf_state = self.codecformer.step(params["codecformer"], cf_state, x)
+        logits = out @ params["audio_linears"]["weight"][cb_index].T.astype(out.dtype)
+        if "bias" in params["audio_linears"]:
+            logits = logits + params["audio_linears"]["bias"][cb_index].astype(logits.dtype)
+        return logits, cf_state
+
+    def init_codecformer_state(self, batch_size: int, dtype=jnp.bfloat16) -> State:
+        return self.codecformer.init_state(batch_size, dtype)

@@ -1,0 +1,150 @@
+"""Flagship speech-text LM tests: training forward parity vs torch reference,
+loss semantics, streaming generation pieces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rstnet_tpu.losses.ce import cross_entropy_and_accuracy
+from rstnet_tpu.models.config import Config
+from rstnet_tpu.models.lm import SpeechTextLM
+
+CFG = dict(
+    name="test-tiny", block_size=128, vocab_size=160, padded_vocab_size=160,
+    n_layer=2, n_head=4, n_embd=32, n_query_groups=2, rotary_percentage=1.0,
+    parallel_residual=False, bias=False, norm_class_name="RMSNorm",
+    mlp_class_name="LLaMAMLP", intermediate_size=64, context=24,
+    audio_card=48, codecformer_dim=24, n_q=8, dep_q=8, codecformer_heads=4,
+    codecformer_layers=2, codecformer_dim_feedforward=48,
+)
+
+
+def _model(**over) -> SpeechTextLM:
+    d = dict(CFG)
+    d.update(over)
+    return SpeechTextLM(Config(**d))
+
+
+def _rand_sequence(key, B, S, cfg):
+    ktext, kaudio = jax.random.split(key)
+    text = jax.random.randint(ktext, (B, 1, S), 0, cfg.padded_vocab_size)
+    audio = jax.random.randint(kaudio, (B, cfg.n_q, S), 0, cfg.audio_card)
+    return jnp.concatenate([text, audio], axis=1)
+
+
+def test_forward_shapes():
+    m = _model()
+    params = m.init(jax.random.PRNGKey(0))
+    seq = _rand_sequence(jax.random.PRNGKey(1), 2, 6, m.config)
+    audio_logits, text_logits = m(params, seq)
+    assert audio_logits.shape == (2, 6, 8, 48)
+    assert text_logits.shape == (2, 6, 160)
+
+
+def test_zero_token_embeds_to_zero():
+    m = _model()
+    params = m.init(jax.random.PRNGKey(0))
+    seq = jnp.full((1, 9, 4), -1, jnp.int32)  # all zero-tokens
+    x = m.fuse_embeddings(params, seq.at[:, 0].set(5))
+    # audio contributions are all zero -> x equals the text embedding alone
+    ref = jnp.take(params["backbone"]["wte"], jnp.full((1, 4), 5), axis=0)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref), atol=1e-6)
+
+
+def test_streaming_step_matches_training_forward():
+    """Generation-style stepping reproduces the teacher-forced logits."""
+    m = _model()
+    params = m.init(jax.random.PRNGKey(0))
+    S = 5
+    seq = _rand_sequence(jax.random.PRNGKey(1), 1, S, m.config)
+    audio_ref, text_ref = m(params, seq)
+
+    state = m.init_state(1, dtype=jnp.float32)
+    start = m.initial_frame(1)
+    frames = jnp.concatenate([start, seq[:, :, :-1]], axis=2)
+    audio_stream = []
+    text_stream = []
+    for t in range(S):
+        hidden, text_logits, state = m.step_global(params, state, frames[:, :, t : t + 1])
+        text_stream.append(text_logits)
+        cf_state = m.init_codecformer_state(1, dtype=jnp.float32)
+        step_logits = []
+        prev = seq[:, 0, t : t + 1]  # teacher-forced text token
+        for cb in range(m.config.dep_q):
+            logits, cf_state = m.step_codecformer(params, cf_state, cb, prev, hidden)
+            step_logits.append(logits)
+            prev = seq[:, 1 + cb, t : t + 1]  # teacher-forced audio token
+        audio_stream.append(jnp.stack(step_logits, axis=2))
+    text_stream = jnp.concatenate(text_stream, axis=1)
+    audio_stream = jnp.concatenate(audio_stream, axis=1)
+    np.testing.assert_allclose(np.asarray(text_stream), np.asarray(text_ref), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(audio_stream), np.asarray(audio_ref), atol=3e-5
+    )
+
+
+def test_loss_semantics():
+    B, T, K, V = 2, 5, 3, 11
+    key = jax.random.PRNGKey(0)
+    logits = jax.random.normal(key, (B, T, K, V))
+    targets = jax.random.randint(jax.random.PRNGKey(1), (B, K, T), 0, V)
+    masks = jnp.ones((B, K, T))
+    loss, metrics = cross_entropy_and_accuracy(
+        logits, targets, masks, (2.0, 1.0, 1.0), (10, 10, 10)
+    )
+    assert jnp.isfinite(loss)
+    assert 0.0 <= float(metrics["acc_all"]) <= 1.0
+    # fully-masked stream contributes nothing
+    masks0 = masks.at[:, 0].set(0.0)
+    loss0, _ = cross_entropy_and_accuracy(
+        logits, targets, masks0, (2.0, 1.0, 1.0), (10, 10, 10)
+    )
+    loss_wo, _ = cross_entropy_and_accuracy(
+        logits, targets, masks, (0.0, 1.0, 1.0), (10, 10, 10)
+    )
+    np.testing.assert_allclose(float(loss0), float(loss_wo), rtol=1e-6)
+
+
+class TestTorchParity:
+    @pytest.fixture(scope="class")
+    def pair(self, torch_reference):
+        torch = torch_reference
+        import models.config as ref_config
+        import models.lit_model as lit
+
+        ref_config.BaseConfig = ref_config.Config  # noqa
+        import models.llama_streaming as ls
+
+        d = dict(CFG)
+        d.pop("context")
+        d.pop("name")
+        tcfg = ls.Config(
+            name="test-tiny",
+            codecfomer_norm="rms_norm_f32",
+            **{k: v for k, v in d.items() if k not in (
+                "codecformer_norm",
+            )},
+        )
+        # reference hardcodes a Qwen-sized initial text id (151655); shrink it
+        # to fit the test vocab, matching this framework's small-vocab default
+        ls.GPT.text_initial_token_id = property(lambda self: 3)
+        tmodel = ls.GPT(tcfg).eval()
+        m = _model()
+        from rstnet_tpu.models.convert import convert_speech_lm
+
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        params = convert_speech_lm(sd, m)
+        return torch, tmodel, m, params
+
+    def test_training_forward_parity(self, pair):
+        torch, tmodel, m, params = pair
+        B, S = 2, 6
+        text = torch.randint(0, 160, (B, 1, S))
+        audio = torch.randint(0, 48, (B, 8, S))
+        seq = torch.cat([text, audio], dim=1)
+        with torch.no_grad():
+            audio_t, text_t = tmodel(seq)
+        audio_j, text_j = m(params, jnp.asarray(seq.numpy()))
+        np.testing.assert_allclose(np.asarray(text_j), text_t.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(audio_j), audio_t.numpy(), atol=1e-4)
