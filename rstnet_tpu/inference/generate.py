@@ -1,0 +1,145 @@
+"""Streaming frame-step generation engine (LMGen).
+
+Capability parity with ``MLLM_v2/models/model.py:432-597`` (LMGen / _LMGenState
+/ depformer_step): a delay-pattern ring cache ``[B, K, max_delay+2]`` holds
+recent tokens per stream; user streams are written at delayed positions; each
+80 ms frame runs one backbone step plus ``dep_q`` sequential depformer
+micro-steps with per-modality sampling (text temp/top-k vs audio), and a
+complete token frame is emitted once ``offset > max_delay``.
+
+TPU-first: the entire frame step — ring writes, backbone step, 8 unrolled
+depformer micro-steps, sampling, output gather — is ONE jitted function over
+explicit state, compiled once with static shapes (the XLA equivalent of the
+reference's two CUDA graphs), with no host round-trips inside the frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rstnet_tpu.core import Params, State
+from rstnet_tpu.models.lm import SpeechTextLM, UNGENERATED_TOKEN_ID
+from rstnet_tpu.ops.sampling import sample_token
+
+
+@dataclasses.dataclass(frozen=True)
+class LMGen:
+    model: SpeechTextLM
+    delays: tuple[int, ...] = ()  # len 1+n_q; default all-zero
+    use_sampling: bool = True
+    temp: float = 0.8
+    temp_text: float = 0.7
+    top_k: int = 250
+    top_k_text: int = 25
+    # ban special ids >= audio_card when sampling audio (reference
+    # sample_token_audio semantics); None disables the clamp
+    audio_max_card: Optional[int] = None
+
+    def __post_init__(self):
+        if not self.delays:
+            object.__setattr__(self, "delays", (0,) * self.model.num_codebooks)
+        assert len(self.delays) == self.model.num_codebooks
+
+    @property
+    def max_delay(self) -> int:
+        return max(self.delays)
+
+    @property
+    def cache_len(self) -> int:
+        return self.max_delay + 2
+
+    @property
+    def num_user_streams(self) -> int:
+        """Streams supplied by the caller (0 for pretraining configs where
+        n_q == dep_q; 8 for duplex Moshi-style configs)."""
+        return self.model.num_codebooks - self.model.config.dep_q - 1
+
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16) -> State:
+        K = self.model.num_codebooks
+        return {
+            "cache": jnp.full(
+                (batch_size, K, self.cache_len), UNGENERATED_TOKEN_ID, jnp.int32
+            ),
+            "offset": jnp.zeros((), jnp.int32),
+            "lm": self.model.init_state(batch_size, dtype),
+        }
+
+    def step(
+        self,
+        params: Params,
+        state: State,
+        key: jax.Array,
+        input_tokens: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array, State]:
+        """One frame step.
+
+        input_tokens: [B, num_user_streams, 1] (omit when no user streams).
+        Returns (frame [B, dep_q+1, 1], valid scalar bool, state). The frame
+        holds UNGENERATED during the max_delay warmup (valid=False).
+        """
+        model = self.model
+        cfg = model.config
+        cache = state["cache"]
+        offset = state["offset"]
+        B, K, CT = cache.shape
+        delays = jnp.asarray(self.delays, jnp.int32)
+
+        # 1. write user streams at their delayed positions
+        if self.num_user_streams:
+            assert input_tokens is not None and input_tokens.shape[1] == self.num_user_streams
+            ks = jnp.arange(self.num_user_streams) + cfg.dep_q + 1
+            write_pos = (offset + delays[ks]) % CT  # [U]
+            cache = cache.at[:, ks, write_pos].set(input_tokens[:, :, 0])
+
+        # 2. at the start, delayed streams read the initial token
+        position = offset % CT
+        initial = jnp.broadcast_to(model.initial_frame(B)[:, :, 0], (B, K))
+        use_initial = offset <= delays  # [K]
+        current = cache[:, :, position]
+        current = jnp.where(use_initial[None, :], initial, current)
+        cache = cache.at[:, :, position].set(current)
+
+        # 3. backbone step on the current frame
+        frame = current[:, :, None]  # [B, K, 1]
+        hidden, text_logits, lm_state = model.step_global(params, state["lm"], frame)
+        key, k_text = jax.random.split(key)
+        text_token = sample_token(
+            k_text, text_logits[:, 0], self.use_sampling, self.temp_text, self.top_k_text
+        )  # [B]
+
+        # 4. depformer micro-steps (static unroll over dep_q)
+        cf_state = model.init_codecformer_state(B, dtype=hidden.dtype)
+        prev = text_token[:, None]
+        audio_tokens = []
+        for cb in range(cfg.dep_q):
+            logits, cf_state = model.step_codecformer(params, cf_state, cb, prev, hidden)
+            key, k_cb = jax.random.split(key)
+            tok = sample_token(
+                k_cb, logits[:, 0], self.use_sampling, self.temp, self.top_k,
+                max_card=self.audio_max_card,
+            )
+            prev = tok[:, None]
+            audio_tokens.append(tok)
+        audio = jnp.stack(audio_tokens, axis=1)  # [B, dep_q]
+
+        # 5. write generated tokens at the next position
+        offset = offset + 1
+        position = offset % CT
+        cache = cache.at[:, 0, position].set(text_token)
+        cache = cache.at[:, 1 : cfg.dep_q + 1, position].set(audio)
+
+        # 6. gather the delayed output frame
+        gen_delays = delays[: cfg.dep_q + 1]
+        index = (offset - self.max_delay + gen_delays) % CT  # [dep_q+1]
+        out = jnp.take_along_axis(
+            cache[:, : cfg.dep_q + 1, :],
+            jnp.broadcast_to(index[None, :, None], (B, cfg.dep_q + 1, 1)),
+            axis=2,
+        )
+        valid = offset > self.max_delay
+        new_state = {"cache": cache, "offset": offset, "lm": lm_state}
+        return out, valid, new_state

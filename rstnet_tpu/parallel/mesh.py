@@ -1,0 +1,61 @@
+"""Device mesh construction.
+
+The single mechanism replacing the reference's NCCL process groups, DDP,
+FSDP and DeepSpeed ZeRO wrappers (SURVEY §2.7): one
+``jax.sharding.Mesh`` with named axes
+
+* ``data``   — data parallelism (gradients pmean over ICI)
+* ``fsdp``   — parameter/optimizer-state sharding (ZeRO-3 equivalent;
+               XLA inserts the all-gather/reduce-scatter pairs)
+* ``tensor`` — tensor parallelism for the backbone matmuls
+
+Multi-host: call ``jax.distributed.initialize()`` first (the torchrun
+replacement); the same mesh then spans all processes over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+AXES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(
+    shape: Optional[dict[str, int]] = None,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+    axes: Sequence[str] = AXES,
+) -> Mesh:
+    """Build a mesh over all (or given) devices.
+
+    ``shape`` maps axis name -> size; missing axes default to 1, and a single
+    ``-1`` axis absorbs the remaining devices (like a reshape). With no shape
+    at all, everything goes to ``fsdp`` — the ZeRO-like default that matches
+    the reference's FSDP full-shard training.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = {"fsdp": -1}
+    sizes = [shape.get(a, 1) for a in axes]
+    if -1 in sizes:
+        known = math.prod(s for s in sizes if s != -1)
+        assert n % known == 0, f"{n} devices not divisible by {known}"
+        sizes[sizes.index(-1)] = n // known
+    assert math.prod(sizes) == n, f"mesh {dict(zip(axes, sizes))} != {n} devices"
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, tuple(axes))
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host rendezvous (replaces torchrun env:// init,
+    ``pre_training_full.py:61``). No-op on a single process."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        pass  # already initialized or single-process

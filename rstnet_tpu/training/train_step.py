@@ -1,0 +1,166 @@
+"""The pjit training step: one function replaces the reference's three
+trainer variants (full FSDP / LoRA FSDP / DeepSpeed ZeRO-2 —
+``MLLM_v2/trainer/pre_training_{full,lora,lora_ds}.py``): the *sharding of
+params and optimizer state* is the strategy, and the *trainable mask* is the
+full-vs-LoRA switch.
+
+Loss semantics mirror ``pre_training_full.py:204-219``: audio CE over rows
+1..dep_q with weights [2,1,...], text CE over row 0, summed; metrics are
+globally averaged by construction (the loss is computed on the global
+sharded batch, so no explicit all_reduce is needed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rstnet_tpu.core import Params
+from rstnet_tpu.losses.ce import cross_entropy_and_accuracy
+from rstnet_tpu.models.lm import SpeechTextLM
+
+TEXT_PAD_TOKEN = 128003
+ACOUSTIC_PAD_TOKEN = 2049
+
+
+def make_loss_fn(
+    model: SpeechTextLM,
+    audio_loss_weights: Optional[tuple[float, ...]] = None,
+    text_loss_weight: float = 1.0,
+    audio_ignore_id: int = ACOUSTIC_PAD_TOKEN,
+    text_ignore_id: int = TEXT_PAD_TOKEN,
+) -> Callable:
+    dep_q = model.config.dep_q
+    if audio_loss_weights is None:
+        audio_loss_weights = (2.0,) + (1.0,) * (dep_q - 1)
+
+    def loss_fn(params: Params, batch: dict) -> tuple[jax.Array, dict]:
+        seqs = batch["tokens"]  # [B, 1+n_q, S]
+        masks = batch["masks"].astype(jnp.float32)
+        audio_logits, text_logits = model(params, seqs)
+        loss_audio, m_audio = cross_entropy_and_accuracy(
+            audio_logits,
+            seqs[:, 1 : dep_q + 1],
+            masks[:, 1 : dep_q + 1],
+            audio_loss_weights,
+            (audio_ignore_id,) * dep_q,
+        )
+        loss_text, m_text = cross_entropy_and_accuracy(
+            text_logits[:, :, None, :],
+            seqs[:, 0:1],
+            masks[:, 0:1],
+            (text_loss_weight,),
+            (text_ignore_id,),
+        )
+        loss = loss_audio + loss_text
+        metrics = {
+            "loss": loss,
+            "loss_audio": loss_audio,
+            "loss_text": loss_text,
+            "acc_audio": m_audio["acc_all"],
+            "acc_text": m_text["acc_all"],
+            "acc_audio_tgt": m_audio["acc_target"],
+            "acc_text_tgt": m_text["acc_target"],
+        }
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_optimizer(
+    learning_rate_schedule,
+    betas: tuple[float, float] = (0.9, 0.95),
+    weight_decay: float = 1e-3,
+    eps: float = 1e-8,
+    grad_clip: Optional[float] = None,
+    trainable_mask: Optional[Params] = None,
+) -> optax.GradientTransformation:
+    """AdamW matching the reference's hyperparameters
+    (``pre_training_full.py:138-145``); ``trainable_mask`` (bool pytree)
+    freezes everything else — the LoRA-vs-full switch."""
+    chain = []
+    if grad_clip is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(
+        optax.adamw(
+            learning_rate=learning_rate_schedule,
+            b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay,
+        )
+    )
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
+    return tx
+
+
+def init_train_state(
+    params: Params, tx: optax.GradientTransformation
+) -> dict:
+    return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
+
+
+def make_train_step(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    grad_accum: int = 1,
+    trainable_mask: Optional[Params] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    With ``grad_accum > 1`` the batch carries a leading microbatch axis
+    ``[A, B, ...]`` and gradients are averaged over a ``lax.scan`` —
+    the XLA-native replacement for the reference's ``b_idx % grad_accum``
+    deferred-step loop (``pre_training_full.py:226-236``).
+    """
+
+    def compute_grads(params, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        return grads, metrics
+
+    def step_fn(state: dict, batch: dict) -> tuple[dict, dict]:
+        params = state["params"]
+        if grad_accum > 1:
+            def scan_body(acc, micro):
+                grads, metrics = compute_grads(params, micro)
+                acc_g, acc_m = acc
+                return (
+                    jax.tree.map(jnp.add, acc_g, grads),
+                    jax.tree.map(jnp.add, acc_m, metrics),
+                ), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, params)
+            first = jax.tree.map(lambda x: x[0], batch)
+            m_shape = jax.eval_shape(lambda p, b: compute_grads(p, b)[1], params, first)
+            zero_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+            (grads, msum), _ = jax.lax.scan(scan_body, (zero_g, zero_m), batch)
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            metrics = jax.tree.map(lambda m: m / grad_accum, msum)
+        else:
+            grads, metrics = compute_grads(params, batch)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
+            )
+        updates, opt_state = tx.update(grads, state["opt_state"], params)
+        params = optax.apply_updates(params, updates)
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(loss_fn: Callable):
+    def eval_fn(params: Params, batch: dict) -> dict:
+        _, metrics = loss_fn(params, batch)
+        return metrics
+
+    return jax.jit(eval_fn)

@@ -1,0 +1,78 @@
+"""LMGen streaming generation tests: delay-pattern correctness, jit-once."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rstnet_tpu.inference.generate import LMGen
+from rstnet_tpu.models.lm import UNGENERATED_TOKEN_ID
+from tests.test_speech_lm import _model
+
+
+def test_warmup_then_valid_frames():
+    m = _model()
+    gen = LMGen(m, delays=(0,) + (1,) * m.config.n_q, use_sampling=True)
+    params = m.init(jax.random.PRNGKey(0))
+    state = gen.init_state(1, dtype=jnp.float32)
+    step = jax.jit(gen.step, donate_argnums=(1,))
+    key = jax.random.PRNGKey(7)
+    outs = []
+    valids = []
+    for t in range(6):
+        key, sub = jax.random.split(key)
+        out, valid, state = step(params, state, sub)
+        outs.append(np.asarray(out))
+        valids.append(bool(valid))
+    # max_delay=1: first frame invalid, rest valid
+    assert valids == [False, True, True, True, True, True]
+    for out, valid in zip(outs, valids):
+        if valid:
+            assert (out != UNGENERATED_TOKEN_ID).all()
+            assert out.shape == (1, m.config.dep_q + 1, 1)
+            assert (out[:, 1:] < m.config.audio_card).all() and (out >= 0).all()
+
+
+def test_zero_delay_greedy_matches_manual_loop():
+    """Greedy LMGen with no delays reproduces a hand-rolled generation loop."""
+    m = _model()
+    gen = LMGen(m, use_sampling=False)
+    params = m.init(jax.random.PRNGKey(0))
+    state = gen.init_state(1, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    frames = []
+    for t in range(4):
+        out, valid, state = gen.step(params, state, key)
+        assert bool(valid)
+        frames.append(np.asarray(out)[0, :, 0])
+
+    # manual loop using the model's raw streaming pieces
+    lm_state = m.init_state(1, dtype=jnp.float32)
+    frame = m.initial_frame(1)
+    manual = []
+    for t in range(4):
+        hidden, text_logits, lm_state = m.step_global(params, lm_state, frame)
+        text_tok = jnp.argmax(text_logits[:, -1], axis=-1)
+        cf_state = m.init_codecformer_state(1, dtype=jnp.float32)
+        prev = text_tok[:, None]
+        toks = [int(text_tok[0])]
+        for cb in range(m.config.dep_q):
+            logits, cf_state = m.step_codecformer(params, cf_state, cb, prev, hidden)
+            prev = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+            toks.append(int(prev[0, 0]))
+        manual.append(np.asarray(toks))
+        frame = jnp.asarray(toks, jnp.int32)[None, :, None]
+
+    np.testing.assert_array_equal(np.stack(frames), np.stack(manual))
+
+
+def test_audio_max_card_clamp():
+    m = _model()
+    gen = LMGen(m, use_sampling=True, audio_max_card=4, top_k=0, temp=1.0)
+    params = m.init(jax.random.PRNGKey(0))
+    state = gen.init_state(2, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        out, valid, state = gen.step(params, state, sub)
+    assert (np.asarray(out)[:, 1:] < 4).all()
