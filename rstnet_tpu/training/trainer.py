@@ -1,0 +1,257 @@
+"""Speech-text LM trainer CLI.
+
+One entry point replaces the reference's trainer zoo
+(``MLLM_v2/trainer/pre_training_full.py`` / ``pre_training_lora.py`` /
+``pre_training_lora_ds.py`` and the v1 ``finetuning_*`` variants): the
+parallelism strategy is the mesh shape (``--dp/--fsdp/--tensor``), the
+full-vs-LoRA switch is ``--lora_r``, and ZeRO-style optimizer sharding falls
+out of the param shardings. Per-epoch flow mirrors the reference: train with
+metric reporting -> sampler refresh -> validation -> epoch checkpoint, plus
+intra-epoch checkpoints every ``--save_interval`` steps.
+
+Launch one process per host (``jax.distributed.initialize`` replaces
+torchrun); each host reads its own manifest shard.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rstnet_tpu.data.dataloader import (
+    build_data_iterator,
+    find_data_jsons,
+)
+from rstnet_tpu.data.task_definition import load_data_for_all_tasks
+from rstnet_tpu.models.config import Config
+from rstnet_tpu.models.lm import SpeechTextLM
+from rstnet_tpu.models.lora import attach_lora, init_lora, lora_trainable_mask
+from rstnet_tpu.parallel.mesh import initialize_distributed, make_mesh
+from rstnet_tpu.parallel.sharding import batch_sharding, infer_param_shardings
+from rstnet_tpu.training.checkpoint import (
+    maybe_resume,
+    save_checkpoint,
+)
+from rstnet_tpu.training.schedulers import warmup_lr
+from rstnet_tpu.training.train_step import (
+    init_train_state,
+    make_eval_step,
+    make_loss_fn,
+    make_optimizer,
+    make_train_step,
+)
+from rstnet_tpu.utils.arguments import get_args
+from rstnet_tpu.utils.reporter import Reporter
+
+
+def setup_logging(rank: int, exp_dir: str) -> None:
+    os.makedirs(f"{exp_dir}/logs", exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s [%(filename)s:%(lineno)d] %(message)s",
+        handlers=[
+            logging.FileHandler(f"{exp_dir}/logs/rank{rank}.log"),
+            logging.StreamHandler(sys.stdout),
+        ],
+        force=True,
+    )
+
+
+def build_model(args) -> SpeechTextLM:
+    overrides = dict(
+        audio_card=args.audio_card, n_q=args.n_q, dep_q=args.dep_q,
+        codecformer_dim=args.codecformer_dim, codecformer_heads=args.codecformer_heads,
+        codecformer_layers=args.codecformer_layers,
+        codecformer_dim_feedforward=args.codecformer_dim_feedforward,
+        lora_r=args.lora_r, lora_alpha=args.lora_alpha, lora_dropout=args.lora_dropout,
+        lora_query=args.lora_query, lora_key=args.lora_key, lora_value=args.lora_value,
+        lora_projection=args.lora_projection, lora_mlp=args.lora_mlp,
+        lora_head=args.lora_head,
+    )
+    if args.model_config:
+        cfg = Config.from_file(args.model_config, **overrides)
+    elif args.model_name:
+        cfg = Config.from_name(args.model_name, **overrides)
+    else:
+        raise ValueError("need --model_config or --model_name")
+    return SpeechTextLM(cfg)
+
+
+def build_tokenizers(args) -> dict:
+    tokenizers: dict = {}
+    if args.audio_tokenizer and args.audio_tokenizer != "none":
+        # offline-tokenized data only needs tokenize2/find_length
+        from rstnet_tpu.data.tokenizers.abs_tokenizer import AbsTokenizer
+
+        class StoredTokens(AbsTokenizer):
+            def find_length(self, x):
+                return int(np.shape(x)[-1])
+
+        tokenizers["audio"] = StoredTokens()
+        tokenizers["text"] = StoredTokens()
+    return tokenizers
+
+
+def main(argv=None) -> None:
+    initialize_distributed()
+    args = get_args(argv)
+    rank = jax.process_index()
+    if rank == 0:
+        os.makedirs(args.exp_dir, exist_ok=True)
+    setup_logging(rank, args.exp_dir)
+    np.random.seed(args.seed)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = build_model(args)
+    params = model.init(jax.random.PRNGKey(1337 + args.seed), dtype)
+    if args.checkpoint_path:
+        from rstnet_tpu.models.convert import convert_backbone, load_torch_state_dict
+
+        sd = load_torch_state_dict(args.checkpoint_path)
+        params["backbone"] = jax.tree.map(
+            lambda x: x.astype(dtype), convert_backbone(sd, model.config)
+        )
+        logging.info(f"loaded backbone weights from {args.checkpoint_path}")
+    trainable_mask = None
+    if args.lora_r > 0:
+        overlay = init_lora(model.config, jax.random.PRNGKey(7), dtype)
+        params = attach_lora(params, overlay)
+        trainable_mask = lora_trainable_mask(params)
+        # codecformer & embeddings always train in LoRA mode (the reference
+        # marks only the backbone lora + keeps local transformer trainable)
+        for k in ("codecformer", "input_emb", "codecformer_text_emb",
+                  "codecformer_emb", "codecformer_in", "audio_linears"):
+            trainable_mask[k] = jax.tree.map(lambda _: True, params[k])
+
+    # mesh + sharding
+    n_dev = len(jax.devices())
+    dp = args.dp if args.dp > 0 else max(1, n_dev // (args.fsdp * args.tensor))
+    mesh = make_mesh({"data": dp, "fsdp": args.fsdp, "tensor": args.tensor})
+    logging.info(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
+
+    from rstnet_tpu.data.collate import SpecialTokens
+
+    special = SpecialTokens(
+        text_empty=args.text_empty_token,
+        text_pad=args.text_pad_token,
+        text_empty_pad=args.text_pad_token + 1,
+        text_eos=args.text_pad_token + 2,
+        semantic_empty=args.semantic_empty_token,
+        acoustic_empty=args.acoustic_empty_token,
+        semantic_pad=args.semantic_pad_token,
+        acoustic_pad=args.acoustic_pad_token,
+    )
+    tokenizers = build_tokenizers(args)
+    train_iter, valid_iter = None, None
+    if args.train_data_jsons:
+        train_data, train_text = load_data_for_all_tasks(
+            find_data_jsons(args.train_data_jsons)
+        )
+        train_iter = build_data_iterator(
+            train_data, train_text, tokenizers, batch_scale=args.batch_scale,
+            max_length=args.max_length, min_length=args.min_length,
+            parallel_number=args.parallel_number, seed=args.seed,
+            minibatch_debug=args.minibatch_debug, is_train=True, rank=rank,
+            special=special,
+        )
+    if args.valid_data_jsons:
+        valid_data, valid_text = load_data_for_all_tasks(
+            find_data_jsons(args.valid_data_jsons)
+        )
+        valid_iter = build_data_iterator(
+            valid_data, valid_text, tokenizers, batch_scale=args.batch_scale,
+            max_length=args.max_length, min_length=args.min_length,
+            parallel_number=args.parallel_number, seed=args.seed,
+            minibatch_debug=args.minibatch_debug, is_train=False, rank=rank,
+            special=special,
+        )
+
+    schedule = warmup_lr(args.global_learning_rate, args.warmup_steps)
+    tx = make_optimizer(
+        schedule, weight_decay=args.weight_decay,
+        grad_clip=args.grad_clip if args.grad_clip > 0 else None,
+        trainable_mask=trainable_mask,
+    )
+    loss_fn = make_loss_fn(model, audio_ignore_id=args.acoustic_pad_token, text_ignore_id=args.text_pad_token)
+    reporter = Reporter()
+
+    with jax.set_mesh(mesh):
+        params = jax.device_put(params, infer_param_shardings(mesh, params))
+        state = init_train_state(params, tx)
+        state, extras, resumed = maybe_resume(args.exp_dir, state)
+        if resumed is not None and "reporter" in extras:
+            reporter.load_state_dict(extras["reporter"])
+            logging.info(f"resumed from {resumed} at epoch {reporter.get_epoch()}")
+        train_step = make_train_step(loss_fn, tx, trainable_mask=trainable_mask)
+        eval_step = make_eval_step(loss_fn)
+        b_shard = batch_sharding(mesh, 3)
+        dp_total = mesh.shape["data"] * mesh.shape["fsdp"]
+
+        def device_batch(b):
+            tokens, masks = b["tokens"], b["masks"]
+            # pad batch rows (zero loss mask) to the next power-of-two
+            # multiple of the data axes, bounding jit recompiles to
+            # O(log B) x O(buckets) programs
+            B = tokens.shape[0]
+            target = dp_total
+            while target < B:
+                target *= 2
+            rem = target - B
+            if rem:
+                tokens = np.concatenate([tokens, np.repeat(tokens[-1:], rem, 0)], 0)
+                masks = np.concatenate(
+                    [masks, np.zeros((rem,) + masks.shape[1:], masks.dtype)], 0
+                )
+            return {
+                "tokens": jax.device_put(jnp.asarray(tokens), b_shard),
+                "masks": jax.device_put(jnp.asarray(masks), b_shard),
+            }
+
+        start_epoch = reporter.get_epoch() + 1
+        for ep in range(start_epoch, args.n_epoch + 1):
+            reporter.set_epoch(ep)
+            with reporter.observe("train") as sub:
+                if train_iter is not None:
+                    for b_idx, batch in enumerate(
+                        sub.measure_iter_time(train_iter, "iter_time"), 1
+                    ):
+                        sub.register(
+                            {"batch_size": batch["tokens"].shape[0],
+                             "seq_len": batch["tokens"].shape[2]}
+                        )
+                        with sub.measure_time("step_time"):
+                            state, metrics = train_step(state, device_batch(batch))
+                        sub.register({k: float(v) for k, v in metrics.items()})
+                        sub.register({"lr": float(schedule(int(state["step"]) - 1))})
+                        sub.next()
+                        if b_idx % args.print_freq == 0:
+                            logging.info(sub.log_message(-args.print_freq))
+                        if args.save_interval > 0 and b_idx % args.save_interval == 0:
+                            save_checkpoint(
+                                f"{args.exp_dir}/ep{ep}-iter{b_idx}.checkpoint", state,
+                                {"reporter": reporter.state_dict()},
+                                keep_last=args.keep_last_ckpt,
+                            )
+            if train_iter is not None:
+                train_iter.sampler.refresh()
+            with reporter.observe("valid") as sub:
+                if valid_iter is not None:
+                    for batch in sub.measure_iter_time(valid_iter, "iter_time"):
+                        metrics = eval_step(state["params"], device_batch(batch))
+                        sub.register({k: float(v) for k, v in metrics.items()})
+                        sub.next()
+            logging.info(reporter.log_message())
+            save_checkpoint(
+                f"{args.exp_dir}/ep{ep}.checkpoint", state,
+                {"reporter": reporter.state_dict()}, keep_last=args.keep_last_ckpt,
+            )
+
+
+if __name__ == "__main__":
+    main()
