@@ -294,6 +294,45 @@ def convert_speech_lm(sd: SD, model) -> Params:
     return p
 
 
+def convert_moshi_lm(sd: SD, model) -> Params:
+    """Moshi checkpoint (kyutai ``model.safetensors`` naming,
+    ``moshi/models/lm.py``) -> MoshiLMModel params."""
+    p: Params = {
+        "emb": jnp.stack([_get(sd, f"emb.{k}.weight") for k in range(model.n_q)]),
+        "text_emb": _get(sd, "text_emb.weight"),
+        "text_linear": _lin(sd, "text_linear"),
+        "transformer": convert_streaming_transformer(sd, "transformer", model.transformer),
+        "out_norm": _norm_params(sd, "out_norm"),
+        "depformer_in": jnp.stack(
+            [
+                _lin(sd, f"depformer_in.{k}", False)["weight"]
+                for k in range(model.dep_q if model.depformer_multi_linear else 1)
+            ]
+        ),
+        "depformer_emb": jnp.stack(
+            [_get(sd, f"depformer_emb.{k}.weight") for k in range(model.dep_q - 1)]
+        ),
+        "depformer_text_emb": _get(sd, "depformer_text_emb.weight"),
+        "depformer": convert_streaming_transformer(sd, "depformer", model.depformer),
+        "linears": {
+            "weight": jnp.stack(
+                [_lin(sd, f"linears.{k}", False)["weight"] for k in range(model.dep_q)]
+            )
+        },
+    }
+    if f"linears.0.bias" in sd:
+        p["linears"]["bias"] = jnp.stack(
+            [_get(sd, f"linears.{k}.bias") for k in range(model.dep_q)]
+        )
+    return p
+
+
+def _norm_params(sd: SD, prefix: str) -> Params:
+    if f"{prefix}.alpha" in sd:
+        return {"alpha": jnp.asarray(np.asarray(sd[f"{prefix}.alpha"]).reshape(-1))}
+    return _norm_sd(sd, prefix)
+
+
 def load_torch_state_dict(path: str) -> dict[str, Array]:
     """Load a checkpoint file (.safetensors or torch .pt/.pth) as numpy."""
     if str(path).endswith((".safetensors", ".sft", ".sfts")):

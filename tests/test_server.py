@@ -1,0 +1,78 @@
+"""Duplex server tests: full websocket round trip with tiny models."""
+
+import asyncio
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rstnet_tpu.inference.generate import LMGen
+from rstnet_tpu.serving.server import TAG_AUDIO, TAG_TEXT, ServerState, build_app
+from rstnet_tpu.utils.audio import float_to_pcm16, pcm16_to_float
+from tests.test_mimi import _my_model as tiny_mimi
+from rstnet_tpu.models.moshi_lm import MoshiLMModel
+
+
+def _tiny_state() -> ServerState:
+    mimi = tiny_mimi()  # frame_size 24, 4 codebooks
+    mimi_params = mimi.init(jax.random.PRNGKey(0))
+    lm = MoshiLMModel(
+        delays=(0,) * 9, n_q=8, dep_q=4, card=16, text_card=64, dim=32,
+        num_heads=4, num_layers=2, hidden_scale=4.0, norm="rms_norm_f32",
+        gating="silu", positional_embedding="rope", context=16,
+        existing_text_padding_id=3, depformer_dim=16,
+        depformer_dim_feedforward=32, depformer_num_heads=2,
+        depformer_num_layers=1, depformer_multi_linear=True,
+        depformer_weights_per_step=True, depformer_pos_emb="none",
+    )
+    lm_params = lm.init(jax.random.PRNGKey(1))
+    return ServerState(
+        mimi=mimi, mimi_params=mimi_params,
+        lm_gen=LMGen(lm, delays=lm.delays), lm_params=lm_params,
+    )
+
+
+def test_frame_handler_direct():
+    state = _tiny_state()
+    state.warmup(2)
+    audio, text_token = state.handle_frame_array(np.zeros(24, np.float32))
+    # all delays are zero -> valid from the first frame
+    assert audio is not None and audio.shape == (24,)
+    assert isinstance(text_token, int)
+
+
+def test_websocket_roundtrip():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    state = _tiny_state()
+    state.warmup(2)
+    app = build_app(state)
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            ws = await client.ws_connect("/api/chat")
+            got_audio, got_text = [], []
+            # send 3 frames of 24 samples each
+            for i in range(3):
+                pcm = np.random.default_rng(i).normal(0, 0.1, 24).astype(np.float32)
+                await ws.send_bytes(TAG_AUDIO + float_to_pcm16(pcm))
+            # read responses until we have 3 audio frames
+            for _ in range(10):
+                msg = await asyncio.wait_for(ws.receive(), timeout=30)
+                if msg.type.name != "BINARY":
+                    break
+                data = bytes(msg.data)
+                if data[:1] == TAG_AUDIO:
+                    got_audio.append(pcm16_to_float(data[1:]))
+                elif data[:1] == TAG_TEXT:
+                    got_text.append(data[1:].decode())
+                if len(got_audio) >= 3:
+                    break
+            await ws.close()
+            return got_audio, got_text
+
+    got_audio, got_text = asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+    assert len(got_audio) == 3
+    assert all(a.shape == (24,) for a in got_audio)
+    assert got_text  # text tokens streamed as strings without a tokenizer
