@@ -1,0 +1,158 @@
+"""STFT, mel filterbanks and spectrograms in pure JAX.
+
+Capability parity with ``AudioCodec/MimiCodec/modules/commons/torch_stft.py``
+(TorchSTFT:368 — linear/log/double domains, optional mel scale, normalized
+frames) and the hifigan-style ``utils/hifigan_mel.mel_spectrogram`` used by
+the mel loss. Framing + window + rfft; everything fuses under jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_size: int) -> jnp.ndarray:
+    # torch.hann_window (periodic)
+    n = jnp.arange(win_size)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / win_size)
+
+
+def frame_signal(x: jax.Array, fft_size: int, hop_size: int, center: bool = True) -> jax.Array:
+    """[..., T] -> [..., frames, fft_size] with reflect center padding."""
+    if center:
+        pad = [(0, 0)] * (x.ndim - 1) + [(fft_size // 2, fft_size // 2)]
+        x = jnp.pad(x, pad, mode="reflect")
+    T = x.shape[-1]
+    n_frames = 1 + (T - fft_size) // hop_size
+    idx = jnp.arange(n_frames)[:, None] * hop_size + jnp.arange(fft_size)[None, :]
+    return x[..., idx]
+
+
+def stft(
+    x: jax.Array,
+    fft_size: int,
+    hop_size: int,
+    win_size: int,
+    normalized: bool = False,
+    center: bool = True,
+) -> jax.Array:
+    """torch.stft semantics: [..., T] -> complex [..., freq, frames]."""
+    window = hann_window(win_size)
+    if win_size < fft_size:
+        lpad = (fft_size - win_size) // 2
+        window = jnp.pad(window, (lpad, fft_size - win_size - lpad))
+    frames = frame_signal(x.astype(jnp.float32), fft_size, hop_size, center)
+    spec = jnp.fft.rfft(frames * window, n=fft_size, axis=-1)
+    if normalized:
+        spec = spec / jnp.sqrt(jnp.sum(jnp.square(window)))
+    return jnp.swapaxes(spec, -1, -2)  # [..., freq, frames]
+
+
+def magnitude(
+    x: jax.Array, fft_size: int, hop_size: int, win_size: int,
+    normalized: bool = False, eps: float = 1e-7,
+) -> jax.Array:
+    spec = stft(x, fft_size, hop_size, win_size, normalized)
+    return jnp.sqrt(jnp.clip(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2, eps, None))
+
+
+# -- mel filterbanks ----------------------------------------------------------
+
+
+def _hz_to_mel(f, htk: bool):
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    # slaney
+    f = np.asarray(f, np.float64)
+    mel = f / (200.0 / 3)
+    log_region = f >= 1000.0
+    mel = np.where(log_region, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / np.log(6.4) * 27.0, mel)
+    return mel
+
+
+def _mel_to_hz(m, htk: bool):
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    m = np.asarray(m, np.float64)
+    f = m * (200.0 / 3)
+    log_region = m >= 15.0
+    f = np.where(log_region, 1000.0 * np.exp(np.log(6.4) / 27.0 * (m - 15.0)), f)
+    return f
+
+
+def mel_filterbank(
+    n_freqs: int, f_min: float, f_max: float, n_mels: int, sample_rate: int,
+    htk: bool = True, slaney_norm: bool = False,
+) -> jnp.ndarray:
+    """Triangular filterbank [n_freqs, n_mels]; htk=True matches torchaudio's
+    ``create_fb_matrix`` (TorchSTFT MelScale), htk=False+slaney_norm matches
+    librosa/hifigan mel."""
+    all_freqs = np.linspace(0, sample_rate // 2, n_freqs)
+    m_pts = np.linspace(_hz_to_mel(f_min, htk), _hz_to_mel(f_max, htk), n_mels + 2)
+    f_pts = _mel_to_hz(m_pts, htk)
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]  # [freq, n_mels+2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    if slaney_norm:
+        enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
+        fb *= enorm[None, :]
+    return jnp.asarray(fb, jnp.float32)
+
+
+def mel_spectrogram(
+    x: jax.Array,
+    n_fft: int = 1024,
+    num_mels: int = 80,
+    sampling_rate: int = 24000,
+    hop_size: int = 160,
+    win_size: int = 800,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> jax.Array:
+    """hifigan-style log-mel: [..., T] -> [..., num_mels, frames]."""
+    fmax = fmax if fmax is not None else sampling_rate / 2
+    mag = magnitude(x, n_fft, hop_size, win_size, normalized=False, eps=1e-9)
+    fb = mel_filterbank(
+        n_fft // 2 + 1, fmin, fmax, num_mels, sampling_rate, htk=False, slaney_norm=True
+    )
+    mel = jnp.einsum("...ft,fm->...mt", mag, fb)
+    return jnp.log(jnp.clip(mel, 1e-5, None))
+
+
+# -- TorchSTFT-equivalent multi-domain transform --------------------------------
+
+
+def spectral_transform(
+    x: jax.Array,
+    fft_size: int,
+    hop_size: int,
+    win_size: int,
+    normalized: bool = True,
+    domain: str = "double",
+    mel_scale: bool = False,
+    sample_rate: int = 24000,
+    ref_level_db: float = 20.0,
+    min_level_db: float = -100.0,
+) -> jax.Array:
+    """TorchSTFT.transform magnitudes (``torch_stft.py:386-409``):
+    linear | log | double (mag ++ normalized-log-mag stacked on channel)."""
+    mag = magnitude(x, fft_size, hop_size, win_size, normalized)
+    if mel_scale:
+        fb = mel_filterbank(
+            fft_size // 2 + 1, 0.0, sample_rate / 2, 128, sample_rate, htk=True
+        )
+        mag = jnp.einsum("...ft,fm->...mt", mag, fb)
+    if domain == "linear":
+        return mag
+    log_mag = 20.0 * jnp.log10(jnp.clip(mag, 1e-7, None)) - ref_level_db
+    log_mag = jnp.clip((log_mag - min_level_db) / -min_level_db, 0.0, 1.0)
+    if domain == "log":
+        return log_mag
+    assert domain == "double"
+    return jnp.stack([mag, log_mag], axis=-3)  # channel axis

@@ -1,0 +1,156 @@
+"""Codec GAN training tests: trainable RVQ, discriminators, losses, trainer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rstnet_tpu.losses.gan import (
+    GeneratorLossConfig,
+    discriminator_loss,
+    generator_loss,
+    multi_resolution_stft_loss,
+)
+from rstnet_tpu.models.discriminators import (
+    MultiFrequencyDiscriminator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+from rstnet_tpu.quantization.trainable import TrainableResidualVQ, TrainableSplitRVQ
+
+
+def test_trainable_rvq_roundtrip_and_ema():
+    rvq = TrainableResidualVQ(dim=16, codebook_dim=8, codebook_size=32, num_quantizers=4)
+    params, buffers = rvq.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 16))
+    q, codes, commit, new_buffers = rvq.forward(params, buffers, x, jax.random.PRNGKey(2))
+    assert q.shape == x.shape
+    assert codes.shape == (2, 10, 4)
+    assert float(commit) >= 0
+    # EMA stats moved
+    assert not np.allclose(
+        np.asarray(new_buffers["embed_avg"]), np.asarray(buffers["embed_avg"])
+    )
+    # decode(encode(x)) == quantized path without bypass
+    codes2 = rvq.encode(params, new_buffers, x)
+    dec = rvq.decode(params, new_buffers, codes2)
+    assert dec.shape == x.shape
+
+
+def test_trainable_rvq_gradients_flow():
+    """STE: gradients reach the projections despite discrete codes."""
+    rvq = TrainableResidualVQ(dim=16, codebook_dim=8, codebook_size=16, num_quantizers=2)
+    params, buffers = rvq.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16))
+
+    def loss(p):
+        q, _, commit, _ = rvq.forward(p, buffers, x, update=False)
+        return jnp.mean(jnp.square(q - x)) + commit
+
+    grads = jax.grad(loss)(params)
+    assert float(jnp.abs(grads["project_in"]).sum()) > 0
+    assert float(jnp.abs(grads["project_out"]).sum()) > 0
+
+
+def test_split_rvq_distillation():
+    q = TrainableSplitRVQ(input_dimension=16, dimension=8, bins=16, n_q=4)
+    params, buffers = q.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 16))
+    sem = jax.random.normal(jax.random.PRNGKey(2), (2, 10, 16))
+    quant, codes, commit, sim, _ = q.forward(params, buffers, x, sem, jax.random.PRNGKey(3))
+    assert codes.shape == (2, 10, 4)
+    assert float(sim) > 0  # -log sigmoid(cos) of random vectors
+
+
+@pytest.mark.parametrize(
+    "disc",
+    [
+        MultiFrequencyDiscriminator(hop_lengths=(8, 16), hidden_channels=(32, 32),
+                                    sample_rate=2400),
+        MultiPeriodDiscriminator(period_sizes=(2, 3)),
+        MultiScaleDiscriminator(num_scales=2),
+    ],
+    ids=["mfd", "mpd", "msd"],
+)
+def test_discriminators_shapes(disc):
+    params = disc.init(jax.random.PRNGKey(0))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 512))
+    y_hat = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 512))
+    ro, fo, rf, ff = disc(params, y, y_hat)
+    assert len(ro) == len(fo) == len(rf) == len(ff)
+    d_loss, _ = discriminator_loss({"d": ro}, {"d": fo})
+    assert np.isfinite(float(d_loss))
+
+
+def test_generator_loss_composition():
+    cfg = GeneratorLossConfig(
+        full_fft_sizes=(64, 128), full_win_sizes=(40, 80), full_hop_sizes=(10, 20),
+        sub_num_bands=2, sub_fft_sizes=(32,), sub_win_sizes=(20,), sub_hop_sizes=(8,),
+    )
+    y = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 512))
+    y_hat = y + 0.01 * jax.random.normal(jax.random.PRNGKey(1), (2, 1, 512))
+    fake_scores = [jax.random.normal(jax.random.PRNGKey(2), (2, 1, 4, 4))]
+    fmaps = [[jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 8))]]
+    loss, items = generator_loss(
+        cfg, y, y_hat, {"d": fake_scores}, {"d": fmaps}, {"d": fmaps},
+    )
+    assert np.isfinite(float(loss))
+    assert "G_sc_full" in items and "G_sc_sub" in items
+    # reconstruction closeness drives the stft loss down
+    sc_close, _ = multi_resolution_stft_loss(y_hat[:, 0], y[:, 0], (64,), (40,), (10,))
+    sc_far, _ = multi_resolution_stft_loss(
+        jax.random.normal(jax.random.PRNGKey(4), (2, 512)), y[:, 0], (64,), (40,), (10,)
+    )
+    assert float(sc_close) < float(sc_far)
+
+
+@pytest.mark.slow
+def test_codec_trainer_end_to_end(tmp_path):
+    """Two GAN steps on synthetic audio through the real CLI."""
+    import yaml
+
+    from rstnet_tpu.training import codec_trainer
+    from rstnet_tpu.utils.audio import write_wav
+
+    sr = 2400
+    rng = np.random.default_rng(0)
+    wavs = []
+    for i in range(4):
+        path = tmp_path / f"w{i}.wav"
+        write_wav(str(path), 0.2 * rng.normal(0, 1, sr).astype(np.float32), sr)
+        wavs.append(str(path))
+    (tmp_path / "train.scp").write_text("\n".join(wavs))
+    config = {
+        "generator": {"name": "MimiCodec", "config": {
+            "sample_rate": sr, "n_filters": 4, "encoder_rates": [4, 3],
+            "latent_dim": 32, "codebook_size": 16, "codebook_dim": 8,
+            "rvq_layers": 4, "num_heads": 2, "num_layers": 1, "layer_scale": 0.01,
+            "context": 32, "dim_feedforward": 64, "semantic_feature_dim": 16,
+            "target_frame_rate": 100,
+        }},
+        "d_list": ["mfd"],
+        "mfd": {"config": {"hop_lengths": [8, 16], "hidden_channels": [32, 32],
+                           "domain": "double", "mel_scale": True, "sample_rate": sr}},
+        "criterion": {"g_criterion": {"config": {
+            "adv_criterion": "MSEGLoss", "use_feature_match": True,
+            "feat_match_loss_weight": 20, "use_mel_loss": False,
+            "use_full_stft_loss": True, "full_stft_loss_weight": 1,
+            "full_multi_scale_stft_loss": {"fft_sizes": [64, 128],
+                                           "win_sizes": [40, 80], "hop_sizes": [10, 20]},
+            "use_sub_stft_loss": True, "sub_stft_loss_weight": 1,
+            "sub_multi_scale_stft_loss": {"num_bands": 2, "fft_sizes": [32],
+                                          "win_sizes": [20], "hop_sizes": [8]},
+        }}},
+        "optimizer": {"g": {"config": {"lr": 1e-4}}, "d": {"config": {"lr": 1e-4}}},
+        "segment_size": 1200, "batch_size": 2, "num_epoches": 1,
+        "checkpoint_interval": 2, "print_freq": 1, "discriminator_iter_start": 0,
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    g_state, d_state = codec_trainer.main([
+        "--config", str(cfg_path), "--exp_dir", str(tmp_path / "exp"),
+        "--train_scp", str(tmp_path / "train.scp"), "--semantic_teacher", "none",
+        "--max_steps", "2",
+    ])
+    assert int(g_state["step"]) == 2
+    assert any(p.name.endswith(".checkpoint") for p in (tmp_path / "exp").iterdir())
