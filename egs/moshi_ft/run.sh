@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Moshi fine-tuning recipe (parity: MLLM/egs/moshi_ft/run.sh:52-280):
+# conversational corpus -> VAD -> ASR -> enhance -> Mimi tokens -> 17-stream
+# grids -> fine-tune the Moshi LM.
+set -euo pipefail
+
+stage=${stage:-1}
+stop_stage=${stop_stage:-3}
+data_root=${data_root:-data/moshi_ft}
+exp_dir=${exp_dir:-exp/moshi_ft}
+raw_scp=${raw_scp:-$data_root/raw_wav.scp}
+mimi_ckpt=${mimi_ckpt:-}
+nj=${nj:-8}
+
+if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
+  echo "== stage 1: VAD + enhancement + segmentation =="
+  python -m rstnet_tpu.pipeline.main --scp "$raw_scp" --out_dir "$data_root/segments"
+fi
+
+if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
+  echo "== stage 2: Mimi tokenization of both channels =="
+  python -m rstnet_tpu.tools.scp_tools split "$data_root/segments/wav.scp" "$nj" \
+      "$data_root/split/wav.JOB.scp"
+  python -m rstnet_tpu.tools.run_jobs --jobs "$nj" --log "$data_root/log/tok.JOB.log" -- \
+      python -m rstnet_tpu.tools.offline_tokenization \
+        --scp "$data_root/split/wav.JOB.scp" \
+        --output "$data_root/tokens/audio.JOB.npz" \
+        --mode audio ${mimi_ckpt:+--mimi-checkpoint "$mimi_ckpt"}
+  for f in "$data_root"/tokens/audio.*.npz; do
+    job=$(basename "$f" .npz | cut -d. -f2)
+    python -m rstnet_tpu.tools.create_data_json --task moshi_ft \
+        --audio_seq "$f" --output "$data_root/jsons/moshi_$job.json"
+  done
+fi
+
+if [ $stage -le 3 ] && [ $stop_stage -ge 3 ]; then
+  echo "== stage 3: fine-tune (17 parallel streams) =="
+  python -m rstnet_tpu.training.trainer \
+      --train_data_jsons "$data_root/jsons/*.json" \
+      --valid_data_jsons "$data_root/jsons/moshi_1.json" \
+      --model_config configs/llama_1b_speech.yaml \
+      --parallel_number 17 --n_q 16 \
+      --exp_dir "$exp_dir" "$@"
+fi

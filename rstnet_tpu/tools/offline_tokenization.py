@@ -1,0 +1,85 @@
+"""Offline codec/text tokenization CLI.
+
+Capability parity with
+``MLLM_v2/egs/pretraining/local/offline_codec_tokenization.py`` and
+``data_scripts/offline_tokenization.py``: iterate a wav.scp (or a text scp),
+tokenize each utterance (audio -> int16 Mimi codes; text -> BPE ids or
+word-aligned frames from whisperX segment jsons), and save one .npz shard —
+the storage format the training data layer consumes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import numpy as np
+
+from rstnet_tpu.tools.scp_tools import read_scp
+from rstnet_tpu.utils.audio import read_wav
+
+
+def tokenize_audio_scp(scp: str, out: str, checkpoint: str = "") -> int:
+    from rstnet_tpu.data.tokenizers.mimi_tokenizer import MimiTokenizer
+
+    tok = MimiTokenizer(checkpoint_path=checkpoint or None)
+    data = {}
+    for utt, path in read_scp(scp):
+        try:
+            wav, sr = read_wav(path)
+        except Exception as e:  # noqa: BLE001
+            logging.warning(f"skipping {utt}: {e}")
+            continue
+        data[utt] = tok.tokenize(wav[0], sr)
+    np.savez(out, **data)
+    return len(data)
+
+
+def tokenize_text_scp(scp: str, out: str, tokenizer_dir: str) -> int:
+    from rstnet_tpu.data.tokenizers.text_tokenizer import TextTokenizer
+
+    tok = TextTokenizer(tokenizer_dir)
+    data = {}
+    for utt, text in read_scp(scp):
+        data[utt] = tok.tokenize(text)
+    np.savez(out, **data)
+    return len(data)
+
+
+def tokenize_aligned_json_scp(scp: str, out: str, tokenizer_dir: str) -> int:
+    """scp of whisperX-style jsons -> word-aligned 12.5 Hz text frames."""
+    from rstnet_tpu.data.tokenizers.text_tokenizer import TextTokenizer
+
+    tok = TextTokenizer(tokenizer_dir)
+    data = {}
+    for utt, path in read_scp(scp):
+        with open(path) as f:
+            meta = json.load(f)
+        word_list = tok.tokenize_segment(meta["segments"])
+        data[utt] = tok.pad_tokens(word_list, meta["duration"])[None]  # [1, T]
+    np.savez(out, **data)
+    return len(data)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scp", required=True)
+    parser.add_argument("--output", required=True, help=".npz shard")
+    parser.add_argument("--mode", default="audio",
+                        choices=["audio", "text", "aligned_text"])
+    parser.add_argument("--mimi-checkpoint", default="")
+    parser.add_argument("--tokenizer-dir", default="")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, force=True)
+    if args.mode == "audio":
+        n = tokenize_audio_scp(args.scp, args.output, args.mimi_checkpoint)
+    elif args.mode == "text":
+        n = tokenize_text_scp(args.scp, args.output, args.tokenizer_dir)
+    else:
+        n = tokenize_aligned_json_scp(args.scp, args.output, args.tokenizer_dir)
+    logging.info(f"wrote {n} utterances to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

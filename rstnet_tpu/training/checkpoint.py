@@ -49,18 +49,34 @@ def save_checkpoint(
         rotate_checkpoints(path.parent, keep_last)
 
 
-def restore_checkpoint(path: str | Path, target_state: dict) -> tuple[dict, dict]:
+def restore_checkpoint(
+    path: str | Path, target_state: dict, partial: bool = False
+) -> tuple[dict, dict]:
     """Restore into the (sharded) structure of ``target_state``; returns
-    (state, extras)."""
+    (state, extras). ``partial=True`` restores only the subtree present in
+    ``target_state`` (e.g. params-only inference loads)."""
     path = _ckpt_dir(path)
     with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore(path / "state", target_state)
+        if partial:
+            full = ckptr.restore(path / "state")
+            state = _pick_subtree(full, target_state)
+        else:
+            state = ckptr.restore(path / "state", target_state)
     extras = {}
     if (path / "extras.json").is_file():
         with open(path / "extras.json") as fp:
             extras = json.load(fp)
     logging.info(f"restored checkpoint {path}")
     return state, extras
+
+
+def _pick_subtree(full: Any, target: Any) -> Any:
+    """Select from ``full`` only the keys present in ``target``."""
+    if isinstance(target, dict):
+        return {k: _pick_subtree(full[k], v) for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        return type(target)(_pick_subtree(f, t) for f, t in zip(full, target))
+    return full
 
 
 _CKPT_RE = re.compile(r"ep(\d+)(?:-iter(\d+))?\.checkpoint$")
