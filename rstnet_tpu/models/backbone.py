@@ -340,7 +340,11 @@ class Backbone:
             h, new_kv = self._block(block, h, cos, sin, pos_q, None, window, kv, offset)
             return h, new_kv
 
-        x, new_kv = lax.scan(body, x, (params["blocks"], windows, state["kv"]))
+        # unroll the layer loop for short decode steps (see transformer.py)
+        x, new_kv = lax.scan(
+            body, x, (params["blocks"], windows, state["kv"]),
+            unroll=self.cfg.n_layer if T <= 8 else 1,
+        )
         x = _norm_apply(self.cfg, params["ln_f"], x)
         return x, {"kv": new_kv, "offset": offset + T}
 

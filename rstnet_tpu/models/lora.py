@@ -81,6 +81,29 @@ def _stack_layers(layers: list[Params]) -> Params:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
 
 
+def init_lora_streaming_transformer(
+    transformer, key: jax.Array, r: int, alpha: int, dtype=jnp.float32
+) -> Params:
+    """LoRA overlay for a ``StreamingTransformer`` (LoRA-Moshi fine-tuning;
+    parity: ``MLLM_v2/modules/transformer_lora.py`` + ``models/model_lora.py``).
+    Attaches factors to the packed in_proj and out_proj of every layer."""
+    L, d = transformer.num_layers, transformer.d_model
+    assert not transformer.weights_per_step, "LoRA on per-step weights unsupported"
+    keys = jax.random.split(key, L)
+
+    def per_layer(k):
+        k1, k2 = jax.random.split(k)
+        scaling = jnp.asarray(alpha / r, dtype)
+        lin = _ab_init(k1, r, d, 3 * d, dtype)
+        lout = _ab_init(k2, r, d, d, dtype)
+        return {
+            "lora_in_proj": {**lin, "scaling": scaling},
+            "lora_out_proj": {**lout, "scaling": scaling},
+        }
+
+    return {"layers": jax.tree.map(lambda *xs: jnp.stack(xs), *[per_layer(k) for k in keys])}
+
+
 def attach_lora(params: Params, overlay: Params) -> Params:
     """Deep-merge the LoRA overlay into base params (pure)."""
     if not isinstance(overlay, dict) or not isinstance(params, dict):

@@ -143,13 +143,23 @@ class StreamingTransformer:
 
     # -- layer body ---------------------------------------------------------
 
+    def _lora(self, layer: Params, name: str, x: jax.Array) -> jax.Array:
+        """Optional low-rank branch on a projection (LoRA-Moshi fine-tuning,
+        parity: ``MLLM_v2/modules/transformer_lora.py``)."""
+        lp = layer.get(f"lora_{name}")
+        if lp is None:
+            return 0.0
+        return (x @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * lp[
+            "scaling"
+        ].astype(x.dtype)
+
     def _project_qkv(self, layer: Params, x: jax.Array, offset) -> tuple:
         B, T, d = x.shape
         if self.weights_per_step:
             w = layer["in_proj"].reshape(self.weights_per_step, 3 * d, d)
             projected = multi_linear(w, x, offset)
         else:
-            projected = x @ layer["in_proj"].T
+            projected = x @ layer["in_proj"].T + self._lora(layer, "in_proj", x)
         # reference layout: (p h d) packing with p=3 → [3, B, H, T, Dh]
         proj = projected.reshape(B, T, 3, self.num_heads, self.head_dim)
         proj = jnp.transpose(proj, (2, 0, 3, 1, 4))
@@ -159,7 +169,7 @@ class StreamingTransformer:
         if self.weights_per_step:
             w = layer["out_proj"].reshape(self.weights_per_step, self.d_model, self.d_model)
             return multi_linear(w, x, offset)
-        return x @ layer["out_proj"].T
+        return x @ layer["out_proj"].T + self._lora(layer, "out_proj", x)
 
     def _ffn(self, layer: Params, x: jax.Array, offset) -> jax.Array:
         h = self._norm(layer["norm2"], x)
@@ -257,7 +267,13 @@ class StreamingTransformer:
             h, new_kv = self._layer(layer, h, offset, kv)
             return h, new_kv
 
-        x, new_kv = lax.scan(body, x, (params["layers"], state["kv"]))
+        # Decode steps are latency-bound: unrolling the layer loop lets XLA
+        # prefetch each layer's weights during the previous layer's compute
+        # instead of dynamic-slicing them per scan iteration.
+        x, new_kv = lax.scan(
+            body, x, (params["layers"], state["kv"]),
+            unroll=self.num_layers if T <= 8 else 1,
+        )
         return x, {"kv": new_kv, "offset": offset + T}
 
 

@@ -100,6 +100,25 @@ def masked_attention(
     return out
 
 
+def prefix_lm_mask(loss_mask: jax.Array, prefix_lm: bool = True) -> jax.Array:
+    """Attention mask from a loss mask (parity:
+    ``MLLM_v2/utils/train_utils.py:236-276``): loss_mask [B, T] bool marks
+    one contiguous target segment; the prefix attends bidirectionally (when
+    ``prefix_lm``), targets are causal over prefix+targets, and padding after
+    the target segment neither sees nor is seen. Returns [B, T, T] bool."""
+    B, T = loss_mask.shape
+    axis = jnp.arange(T)
+    big = jnp.asarray(1 << 30, jnp.int32)
+    start = jnp.min(jnp.where(loss_mask, axis[None, :], big), axis=1)
+    end = jnp.max(jnp.where(loss_mask, axis[None, :], -big), axis=1)
+    causal = (axis[:, None] >= axis[None, :])[None].repeat(B, 0)
+    mask = causal
+    if prefix_lm:
+        mask = jnp.where(start[:, None, None] > axis[None, None, :], True, mask)
+    mask = jnp.where(end[:, None, None] < axis[None, None, :], False, mask)
+    return mask
+
+
 def multi_linear(weight: jax.Array, x: jax.Array, offset: jax.Array | int) -> jax.Array:
     """Per-time-step linear: different weights at each step.
 

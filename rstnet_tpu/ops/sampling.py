@@ -15,8 +15,15 @@ import jax.numpy as jnp
 _NEG_INF = float("-inf")
 
 
-def sample_top_k(key: jax.Array, probs: jax.Array, k: int) -> jax.Array:
-    top_probs, top_idx = jax.lax.top_k(probs, min(k, probs.shape[-1]))
+def sample_top_k(key: jax.Array, probs: jax.Array, k: int, approx: bool = True) -> jax.Array:
+    """Top-k sampling. On TPU, ``jax.lax.approx_max_k`` avoids the full-sort
+    top-k over large vocabularies (recall 0.99 at these k) — a measurable
+    per-frame latency win in the generation step."""
+    k = min(k, probs.shape[-1])
+    if approx and probs.shape[-1] >= 4 * k:
+        top_probs, top_idx = jax.lax.approx_max_k(probs, k, recall_target=0.99)
+    else:
+        top_probs, top_idx = jax.lax.top_k(probs, k)
     choice = jax.random.categorical(key, jnp.log(jnp.maximum(top_probs, 1e-30)))
     return jnp.take_along_axis(top_idx, choice[..., None], axis=-1)[..., 0]
 

@@ -1,0 +1,78 @@
+"""Compilation & memory policy helpers.
+
+Capability parity with ``MLLM_v2/utils/compile.py`` (torch_compile_lazy,
+simple_checkpoint, CUDAGraphed) and ``utils/autocast.py``, in their XLA
+forms: ``jax.jit`` is graph capture, ``jax.checkpoint`` with a named policy
+is activation checkpointing, and a dtype policy replaces autocast. Env vars
+mirror the reference's escape hatches (NO_JAX_JIT ~ NO_TORCH_COMPILE /
+NO_CUDA_GRAPH).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import wraps
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from rstnet_tpu.core import cast_floating
+
+
+def jit_lazy(fn: Callable, **jit_kwargs) -> Callable:
+    """jit unless NO_JAX_JIT=1 (the reference's NO_TORCH_COMPILE escape)."""
+    if os.environ.get("NO_JAX_JIT", "0") == "1":
+        return fn
+    return jax.jit(fn, **jit_kwargs)
+
+
+REMAT_POLICIES = {
+    # recompute everything in backward: minimal memory
+    "full": None,
+    # keep matmul outputs (good default for transformer blocks)
+    "dots": jax.checkpoint_policies.checkpoint_dots,
+    # keep matmul outputs except when flowing into attention
+    "dots_no_batch": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+    # save nothing that can be recomputed cheaply, offload nothing
+    "nothing_saveable": jax.checkpoint_policies.nothing_saveable,
+}
+
+
+def simple_checkpoint(fn: Callable, policy: str = "dots") -> Callable:
+    """Activation checkpointing (reference ``Checkpoint``/``simple_checkpoint``
+    ``utils/compile.py:57-120``): trades FLOPs for HBM under jit."""
+    return jax.checkpoint(fn, policy=REMAT_POLICIES[policy])
+
+
+class DtypePolicy:
+    """bf16-true policy (reference trains bf16 with f32 norms): cast params
+    and inputs to ``compute_dtype``; norms internally compute in f32."""
+
+    def __init__(self, compute_dtype=jnp.bfloat16):
+        self.compute_dtype = compute_dtype
+
+    def cast_params(self, params):
+        return cast_floating(params, self.compute_dtype)
+
+    def cast_inputs(self, *args):
+        out = tuple(
+            a.astype(self.compute_dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a
+            for a in args
+        )
+        return out if len(out) > 1 else out[0]
+
+
+def graph_step(fn: Callable, donate_state: bool = True) -> Callable:
+    """The CUDA-graph replacement: one jitted step with donated state
+    buffers — traced once, replayed with no host-side graph rebuilding
+    (reference ``CUDAGraphed`` ``utils/compile.py:189-277``)."""
+    return jit_lazy(fn, donate_argnums=(1,) if donate_state else ())
+
+
+def profile_trace(log_dir: str):
+    """jax.profiler context for trace capture (replaces the reference's
+    wall-clock-only timers with real device traces, SURVEY §5)."""
+    return jax.profiler.trace(log_dir)
