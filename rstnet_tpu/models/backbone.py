@@ -183,11 +183,24 @@ class Backbone:
         k = jnp.concatenate([apply_rope_halved(k[..., :n], cos, sin), k[..., n:]], -1)
         return q, k
 
-    def _attention(self, q, k, v, pos_q, pos_k, window):
+    def _attention(self, q, k, v, pos_q, pos_k, window, allow_flash: bool = False):
         """Windowed-causal attention with GQA repeat, f32 softmax, and
         optional logit softcapping. ``window``: traced per-layer scalar
-        (0 = no sliding window; config.context still applies)."""
+        (0 = no sliding window; config.context still applies).
+
+        Training forwards route through the Pallas splash kernel when the
+        config enables it and the shape qualifies — O(T) memory at context
+        3000 instead of the [B, H, T, T] logits tensor."""
         cfg = self.cfg
+        if allow_flash and cfg.sliding_window_size is None:
+            from rstnet_tpu.ops.flash_attention import flash_attention, flash_qualifies
+
+            if flash_qualifies(
+                q.shape[2], cfg.context, cfg.attention_logit_softcapping,
+                cfg.use_flash_attention,
+            ):
+                scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
+                return flash_attention(q, k, v, cfg.context, scale)
         B, H, Tq, D = q.shape
         if k.shape[1] != H:
             rep = H // k.shape[1]
@@ -215,10 +228,11 @@ class Backbone:
         x_normed = _norm_apply(cfg, block["norm_1"], x)
         q, k, v = self._qkv(block, x_normed)
         q, k = self._rope_qk(q, k, cos, sin)
+        allow_flash = kv_cache is None and isinstance(offset, int) and offset == 0
         if kv_cache is not None:
             kv_cache, pos_k, _ = ring_kv_update(kv_cache, offset, k, v)
             k, v = kv_cache["k"], kv_cache["v"]
-        y = self._attention(q, k, v, pos_q, pos_k, window)
+        y = self._attention(q, k, v, pos_q, pos_k, window, allow_flash)
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, cfg.head_size * cfg.n_head)
         scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
         attn_out = linear(block["proj"], y, scaling)

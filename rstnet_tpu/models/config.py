@@ -70,6 +70,9 @@ class Config:
     # attention context window (framework extension: ring-KV streaming bound;
     # the reference flagship uses 3000 frames, llama_streaming.py:485)
     context: Optional[int] = 3000
+    # use the Pallas splash (flash) attention kernel for training forwards
+    # when the shape qualifies (TPU, no softcap, T % 128 == 0)
+    use_flash_attention: bool = False
 
     # ---- LoRA (flagship fine-tuning, llama_streaming.py:457-467) ----------
     lora_r: int = 0

@@ -20,12 +20,21 @@ from rstnet_tpu.tools.scp_tools import read_scp
 from rstnet_tpu.utils.audio import read_wav
 
 
+def _wav_entries(scp: str) -> list[tuple[str, str]]:
+    """Accept both ``utt path`` and bare-path scp conventions."""
+    from pathlib import Path
+
+    return [
+        (Path(k).stem, k) if not v else (k, v) for k, v in read_scp(scp)
+    ]
+
+
 def tokenize_audio_scp(scp: str, out: str, checkpoint: str = "") -> int:
     from rstnet_tpu.data.tokenizers.mimi_tokenizer import MimiTokenizer
 
     tok = MimiTokenizer(checkpoint_path=checkpoint or None)
     data = {}
-    for utt, path in read_scp(scp):
+    for utt, path in _wav_entries(scp):
         try:
             wav, sr = read_wav(path)
         except Exception as e:  # noqa: BLE001

@@ -73,6 +73,7 @@ def build_model(args) -> SpeechTextLM:
         lora_query=args.lora_query, lora_key=args.lora_key, lora_value=args.lora_value,
         lora_projection=args.lora_projection, lora_mlp=args.lora_mlp,
         lora_head=args.lora_head,
+        use_flash_attention=args.flash_attention and jax.default_backend() == "tpu",
     )
     if args.model_config:
         cfg = Config.from_file(args.model_config, **overrides)

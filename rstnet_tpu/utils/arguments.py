@@ -62,6 +62,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora_projection", type=str2bool, default=False)
     p.add_argument("--lora_mlp", type=str2bool, default=False)
     p.add_argument("--lora_head", type=str2bool, default=False)
+    p.add_argument("--flash_attention", type=str2bool, default=True,
+                   help="splash-attention training forwards on TPU")
     # parallelism (framework extension: explicit mesh shape)
     p.add_argument("--dp", type=int, default=-1, help="data axis size (-1 = infer)")
     p.add_argument("--fsdp", type=int, default=1)
