@@ -62,3 +62,23 @@ def flatten_dict(tree: Params, prefix: str = "", sep: str = ".") -> Iterator[tup
 def config_fields(obj) -> dict:
     """Static config of a module dataclass, for repr/serialization."""
     return {f.name: getattr(obj, f.name) for f in dataclasses.fields(obj)}
+
+
+def seed_everything(seed: int) -> "jax.Array":
+    """Seed host-side RNGs and return a root PRNG key (parity:
+    ``utils/train_utils.py:30-51`` — determinism on TPU comes from jit +
+    explicit keys rather than cudnn flags)."""
+    import random as _random
+
+    import numpy as _np
+
+    _random.seed(seed)
+    _np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def model_size_report(params: Params) -> str:
+    """Human-readable size summary (codec ``cal_model_size`` equivalent)."""
+    n = param_count(params)
+    b = param_bytes(params)
+    return f"{n / 1e6:.2f}M params, {b / 1e6:.1f} MB"

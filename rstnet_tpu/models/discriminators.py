@@ -350,9 +350,136 @@ class MultiResolutionDiscriminator:
         return real_out, fake_out, real_fm, fake_fm
 
 
+# -- collaborative multi-band + sub-band discriminators (Avocodo-style) ----------
+
+
+@dataclasses.dataclass(frozen=True)
+class CoMBDBlock:
+    """One collaborative multi-band conv1d stack (``combd_sbd.py:16-44``)."""
+
+    filters: tuple[int, ...] = (16, 64, 256, 1024, 1024, 1024)
+    kernels: tuple[int, ...] = (7, 11, 11, 11, 11, 5)
+    groups: tuple[int, ...] = (1, 4, 16, 64, 256, 1)
+    strides: tuple[int, ...] = (1, 1, 4, 4, 4, 1)
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        keys = jax.random.split(key, len(self.filters) + 1)
+        convs = []
+        in_ch = 1
+        for k, (f, ks, g, s) in zip(keys, zip(self.filters, self.kernels, self.groups, self.strides)):
+            convs.append(_conv_init(k, (f, in_ch // g, ks), dtype))
+            in_ch = f
+        return {"convs": convs, "post": _conv_init(keys[-1], (1, self.filters[-1], 3), dtype)}
+
+    def __call__(self, params: Params, x: jax.Array):
+        fmaps = []
+        for p, (f, ks, g, s) in zip(
+            params["convs"], zip(self.filters, self.kernels, self.groups, self.strides)
+        ):
+            x = conv1d(x, p["weight"], p["bias"], stride=s, padding=(ks - 1) // 2, groups=g)
+            x = leaky_relu(x, 0.1)
+            fmaps.append(x)
+        x = conv1d(x, params["post"]["weight"], params["post"]["bias"], padding=1)
+        fmaps.append(x)
+        return x, fmaps[:-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiCoMBDiscriminator:
+    """Collaborative multi-band discriminator over full-band + PQMF bands
+    (``combd_sbd.py:107-195``): three CoMBD stacks on the raw signal and its
+    first 2-band / 4-band PQMF projections."""
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        keys = jax.random.split(key, 3)
+        return {"discs": [CoMBDBlock().init(k, dtype) for k in keys]}
+
+    def __call__(self, params: Params, y: jax.Array, y_hat: jax.Array):
+        from rstnet_tpu.ops.pqmf import pqmf_analysis
+
+        views = [
+            (y, y_hat),
+            (pqmf_analysis(y, 2, 62)[:, :1], pqmf_analysis(y_hat, 2, 62)[:, :1]),
+            (pqmf_analysis(y, 4, 62)[:, :1], pqmf_analysis(y_hat, 4, 62)[:, :1]),
+        ]
+        block = CoMBDBlock()
+        real_out, fake_out, real_fm, fake_fm = [], [], [], []
+        for p, (yr, yf) in zip(params["discs"], views):
+            ro, rf = block(p, yr)
+            fo, ff = block(p, yf)
+            real_out.append(ro)
+            fake_out.append(fo)
+            real_fm.append(rf)
+            fake_fm.append(ff)
+        return real_out, fake_out, real_fm, fake_fm
+
+
+@dataclasses.dataclass(frozen=True)
+class SubBandDiscriminator:
+    """Multi-dilated conv stacks over PQMF sub-bands (``combd_sbd.py:79-105``),
+    simplified to a fixed MDC ladder over the 4-band decomposition."""
+
+    channels: tuple[int, ...] = (64, 128, 256)
+    kernel: int = 5
+    strides: tuple[int, ...] = (1, 2, 2)
+    dilations: tuple[int, ...] = (1, 2, 4)
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        keys = jax.random.split(key, len(self.channels) * 2 + 1)
+        mdcs = []
+        in_ch = 4
+        ki = 0
+        for c, s in zip(self.channels, self.strides):
+            branch = [_conv_init(keys[ki], (c, in_ch, self.kernel), dtype)]
+            ki += 1
+            out = _conv_init(keys[ki], (c, c, 3), dtype)
+            ki += 1
+            mdcs.append({"branch": branch, "out": out, "stride": None})
+            in_ch = c
+        return {"mdcs": mdcs, "post": _conv_init(keys[-1], (1, self.channels[-1], 3), dtype)}
+
+    def __call__(self, params: Params, x: jax.Array):
+        from rstnet_tpu.ops.pqmf import pqmf_analysis
+
+        h = pqmf_analysis(x, 4, 62)
+        fmaps = []
+        for mdc, c, s, d in zip(
+            params["mdcs"], self.channels, self.strides, self.dilations
+        ):
+            acc = 0.0
+            for b in mdc["branch"]:
+                pad = (self.kernel - 1) * d // 2
+                y = lax.conv_general_dilated(
+                    h, b["weight"], window_strides=(1,), padding=((pad, pad),),
+                    rhs_dilation=(d,), dimension_numbers=("NCH", "OIH", "NCH"),
+                )
+                acc = acc + y + b["bias"][None, :, None]
+            h = conv1d(leaky_relu(acc, 0.1), mdc["out"]["weight"], mdc["out"]["bias"],
+                       stride=s, padding=1)
+            h = leaky_relu(h, 0.1)
+            fmaps.append(h)
+        h = conv1d(h, params["post"]["weight"], params["post"]["bias"], padding=1)
+        fmaps.append(h)
+        return h, fmaps[:-1]
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiSubBandDiscriminator:
+    def init(self, key: jax.Array, dtype=jnp.float32) -> Params:
+        return {"discs": [SubBandDiscriminator().init(key, dtype)]}
+
+    def __call__(self, params: Params, y: jax.Array, y_hat: jax.Array):
+        disc = SubBandDiscriminator()
+        ro, rf = disc(params["discs"][0], y)
+        fo, ff = disc(params["discs"][0], y_hat)
+        return [ro], [fo], [rf], [ff]
+
+
 DISCRIMINATORS = {
     "mfd": MultiFrequencyDiscriminator,
     "mpd": MultiPeriodDiscriminator,
     "msd": MultiScaleDiscriminator,
     "mrd": MultiResolutionDiscriminator,
+    "combd": MultiCoMBDiscriminator,
+    "sbd": MultiSubBandDiscriminator,
 }

@@ -74,12 +74,16 @@ def available() -> bool:
     return _load() is not None
 
 
-def read_wav(path: str, max_seconds: float = 3600.0) -> Optional[tuple[np.ndarray, int]]:
+def read_wav(path: str) -> Optional[tuple[np.ndarray, int]]:
     """-> (float32 [channels, T], sr) or None on failure / unavailable."""
     lib = _load()
     if lib is None:
         return None
-    max_samples = int(max_seconds * 48000 * 2)
+    try:
+        # sample count is bounded by the file size (8-bit PCM worst case)
+        max_samples = max(os.path.getsize(path), 64)
+    except OSError:
+        return None
     buf = np.empty(max_samples, np.float32)
     sr = ctypes.c_int(0)
     ch = ctypes.c_int(0)

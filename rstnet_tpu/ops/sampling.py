@@ -56,9 +56,16 @@ def sample_token(
         logits = jnp.where(valid, logits, _NEG_INF)
     if not use_sampling or temp <= 0.0:
         return jnp.argmax(logits, axis=-1)
-    probs = jax.nn.softmax(logits / temp, axis=-1)
     if top_p > 0.0:
-        return sample_top_p(key, probs, top_p)
+        return sample_top_p(key, jax.nn.softmax(logits / temp, axis=-1), top_p)
     if top_k > 0:
-        return sample_top_k(key, probs, top_k)
+        # top-k on logits THEN softmax over k: identical distribution to
+        # softmax-then-top-k-renormalize, without a full-vocab softmax
+        k = min(top_k, logits.shape[-1])
+        if logits.shape[-1] >= 4 * k:
+            top_logits, top_idx = jax.lax.approx_max_k(logits, k, recall_target=0.99)
+        else:
+            top_logits, top_idx = jax.lax.top_k(logits, k)
+        choice = jax.random.categorical(key, top_logits / temp)
+        return jnp.take_along_axis(top_idx, choice[..., None], axis=-1)[..., 0]
     return jax.random.categorical(key, logits / temp)

@@ -64,6 +64,38 @@ def merge_then_split(inputs: list[str], n: int, out_pattern: str) -> list[str]:
     return outs
 
 
+def find_peer_utts(scp: str, out: str, sep: str = "_") -> int:
+    """Group utterances sharing a prefix (speaker/conversation) and emit
+    ``utt peer`` pairs — prompt-selection helper
+    (``tools/data_scripts/find_peer_utts.py``)."""
+    entries = read_scp(scp)
+    by_prefix: dict[str, list[str]] = {}
+    for k, _ in entries:
+        by_prefix.setdefault(k.rsplit(sep, 1)[0], []).append(k)
+    pairs = []
+    for group in by_prefix.values():
+        for i, utt in enumerate(group):
+            peer = group[(i + 1) % len(group)]
+            if peer != utt:
+                pairs.append((utt, peer))
+    write_scp(out, pairs)
+    return len(pairs)
+
+
+def select_spk2utt(scp: str, out: str, max_per_spk: int, sep: str = "_") -> int:
+    """Cap utterances per speaker prefix
+    (``tools/data_scripts/select_spk2utt.py``)."""
+    counts: dict[str, int] = {}
+    kept = []
+    for k, v in read_scp(scp):
+        spk = k.rsplit(sep, 1)[0]
+        if counts.get(spk, 0) < max_per_spk:
+            counts[spk] = counts.get(spk, 0) + 1
+            kept.append((k, v))
+    write_scp(out, kept)
+    return len(kept)
+
+
 def wav_dir_to_scp(wav_dir: str, out: str) -> int:
     """Build a wav.scp from a directory tree (get_wav.py equivalent)."""
     entries = []

@@ -73,6 +73,30 @@ def resample_linear(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return np.stack([np.interp(x_new, x_old, ch) for ch in wav]).astype(np.float32)
 
 
+def plot_spectrogram(audio: np.ndarray, sr: int = 24000, path: str | None = None):
+    """Log-mel spectrogram figure for TB/debug
+    (``AudioCodec/MimiCodec/utils/utils.py`` plot_spectrogram)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from rstnet_tpu.ops.stft import mel_spectrogram
+
+    mel = np.asarray(mel_spectrogram(audio[None], sampling_rate=sr))[0]
+    fig, ax = plt.subplots(figsize=(10, 3))
+    im = ax.imshow(mel, aspect="auto", origin="lower", interpolation="none")
+    fig.colorbar(im, ax=ax)
+    ax.set_xlabel("frames")
+    ax.set_ylabel("mel bins")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+        return None
+    return fig
+
+
 def pcm16_to_float(data: bytes) -> np.ndarray:
     return np.frombuffer(data, np.int16).astype(np.float32) / 32768.0
 
