@@ -20,6 +20,40 @@ import jax
 import jax.numpy as jnp
 
 
+def bench_codec(seconds: float = 10.0, n: int = 10) -> dict:
+    """Full-size Mimi codec encode/decode real-time factors (offline jitted)."""
+    import numpy as np
+
+    from rstnet_tpu.models.mimi import mimi_24k
+
+    model = mimi_24k()
+    params = jax.block_until_ready(model.init(jax.random.PRNGKey(0)))
+    T = int(seconds * model.sample_rate)
+    T = (T // (model.frame_size)) * model.frame_size
+    wav = jax.random.normal(jax.random.PRNGKey(1), (1, 1, T))
+    encode = jax.jit(model.encode)
+    decode = jax.jit(model.decode)
+    codes = encode(params, wav)
+    audio = decode(params, codes)
+    np.asarray(audio)
+
+    t0 = time.perf_counter()
+    for _ in range(n):
+        codes = encode(params, wav)
+    np.asarray(codes)
+    enc_s = (time.perf_counter() - t0) / n
+    t0 = time.perf_counter()
+    for _ in range(n):
+        audio = decode(params, codes)
+    np.asarray(audio)
+    dec_s = (time.perf_counter() - t0) / n
+    dur = T / model.sample_rate
+    return {
+        "codec_encode_rtf": round(dur / enc_s, 1),
+        "codec_decode_rtf": round(dur / dec_s, 1),
+    }
+
+
 def main():
     from __graft_entry__ import _flagship
     from rstnet_tpu.inference.generate import LMGen
@@ -68,6 +102,10 @@ def main():
 
     from rstnet_tpu.core import param_count
 
+    codec_detail = {}
+    if os.environ.get("BENCH_CODEC", "1") == "1" and size != "tiny":
+        codec_detail = bench_codec()
+
     print(
         json.dumps(
             {
@@ -84,6 +122,7 @@ def main():
                     "backbone": f"{model.config.n_embd}x{model.config.n_layer}",
                     "device": jax.devices()[0].platform,
                     "budget_ms": 80.0,
+                    **codec_detail,
                 },
             }
         )

@@ -39,14 +39,18 @@ def _rvq_encode_kernel(x_ref, cb_ref, codes_ref, quant_ref, residual, acc, codes
     )  # [BN, K]
     e_sq = jnp.sum(emb * emb, axis=1)
     dist = e_sq[None, :] - 2.0 * dots
-    idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    # manual argmin: Mosaic's cross-lane argmin lowering blows VMEM; two
+    # min-reductions + a select are cheap and keep torch's first-index
+    # tie-breaking
+    lane = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    min_val = jnp.min(dist, axis=1, keepdims=True)
+    big = jnp.int32(dist.shape[1])
+    idx = jnp.min(jnp.where(dist <= min_val, lane, big), axis=1).astype(jnp.int32)
     # dynamic-lane writes aren't Mosaic-friendly: select into the scratch
     # accumulator, flush the whole [BN, Q] block on the last level
     q_iota = jax.lax.broadcasted_iota(jnp.int32, codes_acc.shape, 1)
     codes_acc[:] = jnp.where(q_iota == q, idx[:, None], codes_acc[:])
-    one_hot = (
-        jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1) == idx[:, None]
-    ).astype(jnp.float32)
+    one_hot = (lane == idx[:, None]).astype(jnp.float32)
     quant = jax.lax.dot_general(
         one_hot, emb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )

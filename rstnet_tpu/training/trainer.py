@@ -63,7 +63,22 @@ def setup_logging(rank: int, exp_dir: str) -> None:
     )
 
 
-def build_model(args) -> SpeechTextLM:
+def build_model(args):
+    if args.model_family == "moshi":
+        # pure Moshi RQ-Transformer (v1 finetuning_full_* trainer parity);
+        # kyutai weights load via convert.convert_moshi_lm
+        from rstnet_tpu.models.moshi_lm import MoshiLMModel
+
+        return MoshiLMModel(
+            delays=(0,) * (args.n_q + 1), n_q=args.n_q, dep_q=args.dep_q,
+            card=args.audio_card, text_card=args.moshi_text_card,
+            dim=args.moshi_dim, num_heads=args.moshi_num_heads,
+            num_layers=args.moshi_num_layers,
+            depformer_dim=args.codecformer_dim,
+            depformer_num_heads=args.codecformer_heads,
+            depformer_num_layers=args.codecformer_layers,
+            depformer_dim_feedforward=args.codecformer_dim_feedforward,
+        )
     overrides = dict(
         audio_card=args.audio_card, n_q=args.n_q, dep_q=args.dep_q,
         codecformer_dim=args.codecformer_dim, codecformer_heads=args.codecformer_heads,
@@ -122,15 +137,38 @@ def main(argv=None) -> None:
     model = build_model(args)
     params = model.init(jax.random.PRNGKey(1337 + args.seed), dtype)
     if args.checkpoint_path:
-        from rstnet_tpu.models.convert import convert_backbone, load_torch_state_dict
+        from rstnet_tpu.models.convert import (
+            convert_backbone,
+            convert_moshi_lm,
+            load_torch_state_dict,
+        )
 
         sd = load_torch_state_dict(args.checkpoint_path)
-        params["backbone"] = jax.tree.map(
-            lambda x: x.astype(dtype), convert_backbone(sd, model.config)
-        )
-        logging.info(f"loaded backbone weights from {args.checkpoint_path}")
+        if args.model_family == "moshi":
+            params = jax.tree.map(
+                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                convert_moshi_lm(sd, model),
+            )
+        else:
+            params["backbone"] = jax.tree.map(
+                lambda x: x.astype(dtype), convert_backbone(sd, model.config)
+            )
+        logging.info(f"loaded pretrained weights from {args.checkpoint_path}")
     trainable_mask = None
-    if args.lora_r > 0:
+    if args.lora_r > 0 and args.model_family == "moshi":
+        from rstnet_tpu.models.lora import init_lora_streaming_transformer
+
+        overlay = init_lora_streaming_transformer(
+            model.transformer, jax.random.PRNGKey(7), args.lora_r, args.lora_alpha, dtype
+        )
+        params["transformer"] = attach_lora(params["transformer"], overlay)
+        trainable_mask = lora_trainable_mask(params)
+        # the depformer side stays fully trainable (reference finetuning_lora)
+        for k in ("depformer", "depformer_in", "depformer_emb",
+                  "depformer_text_emb", "linears", "emb", "text_emb",
+                  "text_linear", "out_norm"):
+            trainable_mask[k] = jax.tree.map(lambda _: True, params[k])
+    elif args.lora_r > 0:
         overlay = init_lora(model.config, jax.random.PRNGKey(7), dtype)
         params = attach_lora(params, overlay)
         trainable_mask = lora_trainable_mask(params)

@@ -44,6 +44,14 @@ def get_parser() -> argparse.ArgumentParser:
     # model
     p.add_argument("--model_config", type=str, default="", help="model_config.yaml path")
     p.add_argument("--model_name", type=str, default="", help="registry name alternative")
+    p.add_argument("--model_family", type=str, default="flagship",
+                   choices=["flagship", "moshi"],
+                   help="flagship = pretrained-LLM backbone + codecformer; "
+                        "moshi = pure Moshi RQ-Transformer (v1 fine-tuning)")
+    p.add_argument("--moshi_dim", type=int, default=4096)
+    p.add_argument("--moshi_num_layers", type=int, default=32)
+    p.add_argument("--moshi_num_heads", type=int, default=32)
+    p.add_argument("--moshi_text_card", type=int, default=32000)
     p.add_argument("--checkpoint_path", type=str, default="", help="litgpt lit_model.pth")
     p.add_argument("--audio_card", type=int, default=2048)
     p.add_argument("--n_q", type=int, default=8)

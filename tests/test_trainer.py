@@ -91,6 +91,25 @@ def test_trainer_end_to_end_with_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_trainer_moshi_family(tmp_path):
+    """Pure-Moshi fine-tuning path (v1 trainers) incl. LoRA on the temporal
+    transformer."""
+    from rstnet_tpu.training import trainer
+
+    _write_synthetic(tmp_path)
+    exp = tmp_path / "exp_moshi"
+    args = [a for a in _trainer_args(tmp_path, exp, extra=("--n_epoch", "1"))
+            if a != "--model_config" and not str(a).endswith("model.yaml")]
+    trainer.main(args + [
+        "--model_family", "moshi", "--moshi_dim", "32", "--moshi_num_layers", "2",
+        "--moshi_num_heads", "4", "--moshi_text_card", "512",
+        "--n_q", "8", "--dep_q", "4",
+        "--lora_r", "2", "--lora_alpha", "4",
+    ])
+    assert (exp / "ep1.checkpoint").exists()
+
+
+@pytest.mark.slow
 def test_trainer_lora_mode(tmp_path):
     from rstnet_tpu.training import trainer
 
