@@ -277,6 +277,7 @@ class StreamingTransformer:
         return x, {"kv": new_kv, "offset": offset + T}
 
 
+
 @dataclasses.dataclass(frozen=True)
 class ProjectedTransformer:
     """Transformer with input/output dimension projections and optional
