@@ -79,10 +79,15 @@ def make_optimizer(
     eps: float = 1e-8,
     grad_clip: Optional[float] = None,
     trainable_mask: Optional[Params] = None,
+    skip_nonfinite: int = 0,
 ) -> optax.GradientTransformation:
     """AdamW matching the reference's hyperparameters
     (``pre_training_full.py:138-145``); ``trainable_mask`` (bool pytree)
-    freezes everything else — the LoRA-vs-full switch."""
+    freezes everything else — the LoRA-vs-full switch. ``skip_nonfinite > 0``
+    drops updates with NaN/inf gradients (up to that many in a row) — the
+    guard the reference wanted but left commented out
+    (``pre_training_full.py:227-231``); being inside jit it stays in lockstep
+    across replicas."""
     chain = []
     if grad_clip is not None:
         chain.append(optax.clip_by_global_norm(grad_clip))
@@ -93,6 +98,8 @@ def make_optimizer(
         )
     )
     tx = optax.chain(*chain)
+    if skip_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
     if trainable_mask is not None:
         tx = optax.masked(tx, trainable_mask)
     return tx

@@ -226,6 +226,7 @@ def main(argv=None) -> None:
         schedule, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip if args.grad_clip > 0 else None,
         trainable_mask=trainable_mask,
+        skip_nonfinite=args.skip_nan_updates,
     )
     loss_fn = make_loss_fn(model, audio_ignore_id=args.acoustic_pad_token, text_ignore_id=args.text_pad_token)
     reporter = Reporter()

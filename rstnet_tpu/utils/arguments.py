@@ -37,6 +37,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_steps", type=int, default=5000)
     p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--grad_clip", type=float, default=-1.0)
+    p.add_argument("--skip_nan_updates", type=int, default=0,
+                   help=">0: drop up to N consecutive non-finite-grad updates")
     p.add_argument("--weight_decay", type=float, default=1e-3)
     p.add_argument("--n_epoch", type=int, default=10)
     p.add_argument("--seed", type=int, default=999)
