@@ -104,7 +104,10 @@ def main():
 
     codec_detail = {}
     if os.environ.get("BENCH_CODEC", "1") == "1" and size != "tiny":
-        codec_detail = bench_codec()
+        try:
+            codec_detail = bench_codec()
+        except Exception as e:  # noqa: BLE001 - the headline must still print
+            codec_detail = {"codec_bench_error": str(e)[:120]}
 
     print(
         json.dumps(

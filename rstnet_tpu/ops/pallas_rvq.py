@@ -108,9 +108,20 @@ def rvq_encode_pallas(
 def rvq_encode(
     x: jax.Array, codebooks: jax.Array, use_pallas: bool | None = None
 ) -> tuple[jax.Array, jax.Array]:
-    """Residual-VQ encode with automatic kernel selection."""
+    """Residual-VQ encode with kernel selection.
+
+    The Pallas kernel is validated in interpreter mode (tests) but currently
+    opt-in via RSTNET_PALLAS_RVQ=1: this environment's remote Mosaic compiles
+    of the kernel take pathologically long, and the XLA path already encodes
+    at ~2000x real time. Revisit with local compilation.
+    """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("RSTNET_PALLAS_RVQ", "0") == "1"
+        )
     if use_pallas:
         return rvq_encode_pallas(x, codebooks)
     # jnp fallback (same math)
