@@ -54,6 +54,65 @@ def bench_codec(seconds: float = 10.0, n: int = 10) -> dict:
     }
 
 
+def bench_train(n_steps: int = 10) -> dict:
+    """Training throughput (tokens/sec/chip) on a ~0.5B flagship, bf16,
+    flash attention, batch-scale-style packing (BASELINE.md protocol #4)."""
+    import dataclasses
+
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from rstnet_tpu.training.schedulers import warmup_lr
+    from rstnet_tpu.training.train_step import (
+        init_train_state,
+        make_loss_fn,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = _flagship(tiny=False)
+    cfg = dataclasses.replace(
+        model.config, n_layer=12, n_embd=1024, n_head=16, n_query_groups=8,
+        intermediate_size=4096, remat=True,
+        vocab_size=32000, padded_vocab_size=32064,
+        use_flash_attention=jax.default_backend() == "tpu",
+    )
+    from rstnet_tpu.models.lm import SpeechTextLM
+
+    model = SpeechTextLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.bfloat16)
+    tx = make_optimizer(warmup_lr(1e-4, 100))
+    loss_fn = make_loss_fn(model)
+    state = init_train_state(params, tx)
+    step = make_train_step(loss_fn, tx)
+    B, S = 5, 512  # ~2560 frames/step, the reference's batch-scale ballpark
+    key = jax.random.PRNGKey(1)
+    batch = {
+        "tokens": jnp.concatenate(
+            [
+                jax.random.randint(key, (B, 1, S), 0, cfg.padded_vocab_size),
+                jax.random.randint(key, (B, cfg.n_q, S), 0, cfg.audio_card),
+            ],
+            axis=1,
+        ),
+        "masks": jnp.ones((B, 1 + cfg.n_q, S), jnp.float32),
+    }
+    state, metrics = step(state, batch)  # compile
+    np.asarray(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    np.asarray(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    from rstnet_tpu.core import param_count
+
+    return {
+        "train_frames_per_sec": round(B * S / dt, 1),
+        "train_step_ms": round(dt * 1000, 1),
+        "train_params_m": round(param_count(params) / 1e6, 1),
+    }
+
+
 def main():
     from __graft_entry__ import _flagship
     from rstnet_tpu.inference.generate import LMGen
@@ -108,6 +167,11 @@ def main():
             codec_detail = bench_codec()
         except Exception as e:  # noqa: BLE001 - the headline must still print
             codec_detail = {"codec_bench_error": str(e)[:120]}
+    if os.environ.get("BENCH_TRAIN", "0") == "1":
+        try:
+            codec_detail.update(bench_train())
+        except Exception as e:  # noqa: BLE001
+            codec_detail["train_bench_error"] = str(e)[:120]
 
     print(
         json.dumps(

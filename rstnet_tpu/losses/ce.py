@@ -29,20 +29,22 @@ def cross_entropy_and_accuracy(
     lw = jnp.asarray(loss_weights, jnp.float32)
     ign = jnp.asarray(ignore_ids, jnp.int32)
 
-    logits_f = logits.astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits_f, axis=-1)  # [B, T, K, V]
+    # memory note: avoid materializing full [B,T,K,V] log-probs (1.3 GB at a
+    # 128k vocab and 2.5k frames) — gather the target logit and use logsumexp
     tgt = jnp.transpose(targets, (0, 2, 1))  # [B, T, K]
     msk = jnp.transpose(masks, (0, 2, 1)).astype(jnp.float32)
-
     tgt_clamped = jnp.clip(tgt, 0, V - 1)
-    nll = -jnp.take_along_axis(logp, tgt_clamped[..., None], axis=-1)[..., 0]
+    logits_f = logits.astype(jnp.float32)
+    tgt_logit = jnp.take_along_axis(logits_f, tgt_clamped[..., None], axis=-1)[..., 0]
+    lse = jax.scipy.special.logsumexp(logits_f, axis=-1)
+    nll = lse - tgt_logit
     ignored = tgt == ign[None, None, :]
     nll = jnp.where(ignored, 0.0, nll)
     nll = nll * msk
 
     num_tokens = jnp.sum((msk != 0.0).astype(jnp.float32), axis=(0, 1))  # [K]
     num_target = jnp.sum((msk == 1.0).astype(jnp.float32), axis=(0, 1))
-    pred = jnp.argmax(logits_f, axis=-1)
+    pred = jnp.argmax(logits, axis=-1)
     correct = (pred == tgt).astype(jnp.float32)
     acc_all_k = jnp.sum(correct * (msk != 0.0), axis=(0, 1))
     acc_target_k = jnp.sum(correct * (msk == 1.0), axis=(0, 1))

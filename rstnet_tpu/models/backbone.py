@@ -311,6 +311,10 @@ class Backbone:
             h, _ = self._block(block, h, cos, sin, pos, pos, window, None, 0)
             return h, None
 
+        if self.cfg.remat:
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.checkpoint_dots
+            )
         x, _ = lax.scan(body, x, (params["blocks"], windows))
         return _norm_apply(self.cfg, params["ln_f"], x)
 

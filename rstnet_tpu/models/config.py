@@ -71,8 +71,12 @@ class Config:
     # the reference flagship uses 3000 frames, llama_streaming.py:485)
     context: Optional[int] = 3000
     # use the Pallas splash (flash) attention kernel for training forwards
-    # when the shape qualifies (TPU, no softcap, T % 128 == 0)
+    # when the shape qualifies (TPU, no softcap, T % 512 == 0)
     use_flash_attention: bool = False
+    # rematerialize block activations in training forwards (jax.checkpoint
+    # with the dots policy) — the utils/compile.simple_checkpoint equivalent
+    # applied structurally; trades FLOPs for HBM
+    remat: bool = False
 
     # ---- LoRA (flagship fine-tuning, llama_streaming.py:457-467) ----------
     lora_r: int = 0

@@ -70,6 +70,7 @@ def flash_qualifies(
         enabled
         and splash_available()
         and softcap is None
-        and T >= 128
-        and T % 128 == 0
+        # default splash block size is 512; stick to multiples of it
+        and T >= 512
+        and T % 512 == 0
     )

@@ -89,6 +89,7 @@ def build_model(args):
         lora_projection=args.lora_projection, lora_mlp=args.lora_mlp,
         lora_head=args.lora_head,
         use_flash_attention=args.flash_attention and jax.default_backend() == "tpu",
+        remat=args.remat,
     )
     if args.model_config:
         cfg = Config.from_file(args.model_config, **overrides)

@@ -74,6 +74,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora_head", type=str2bool, default=False)
     p.add_argument("--flash_attention", type=str2bool, default=True,
                    help="splash-attention training forwards on TPU")
+    p.add_argument("--remat", type=str2bool, default=True,
+                   help="rematerialize backbone blocks in training forwards")
     # parallelism (framework extension: explicit mesh shape)
     p.add_argument("--dp", type=int, default=-1, help="data axis size (-1 = infer)")
     p.add_argument("--fsdp", type=int, default=1)
