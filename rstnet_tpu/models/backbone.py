@@ -33,14 +33,48 @@ _NEG_INF = float("-inf")
 
 
 def linear(params: Params, x: jax.Array, scaling: float = 1.0) -> jax.Array:
-    """Linear with optional fused LoRA branch (``lora`` sub-dict)."""
-    y = x @ params["weight"].T.astype(x.dtype)
+    """Linear with optional fused LoRA branch (``lora`` sub-dict) and
+    optional weight-only int8 quantization (``w_int8`` + per-out-channel
+    ``scale``): decode at batch 1 is HBM-bound on weight reads, so int8
+    storage halves the frame-step traffic; dequant fuses into the matmul."""
+    if "w_int8" in params:
+        w = params["w_int8"].astype(x.dtype) * params["scale"].astype(x.dtype)[:, None]
+        y = x @ w.T
+    else:
+        y = x @ params["weight"].T.astype(x.dtype)
     if "lora" in params:
         lp = params["lora"]
         y = y + (x @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * scaling
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
     return y
+
+
+def quantize_linear_int8(p: Params) -> Params:
+    """Per-output-channel symmetric int8 weight quantization (pure)."""
+    out = {k: v for k, v in p.items() if k != "weight"}
+    w = p["weight"].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=-1) / 127.0  # [..., out]
+    scale = jnp.maximum(scale, 1e-8)
+    out["w_int8"] = jnp.clip(jnp.round(w / scale[..., None]), -127, 127).astype(jnp.int8)
+    out["scale"] = scale
+    return out
+
+
+def quantize_backbone_int8(params: Params) -> Params:
+    """Quantize the backbone's big linears (attn/proj/mlp/lm_head) to int8
+    for serving; norms, embeddings and biases stay bf16/f32."""
+
+    def walk(p, name=""):
+        if not isinstance(p, dict):
+            return p
+        if "weight" in p and name in (
+            "attn", "proj", "fc", "fc_1", "fc_2", "lm_head", "gate",
+        ) and p["weight"].ndim >= 2:
+            return quantize_linear_int8(p)
+        return {k: walk(v, k) for k, v in p.items()}
+
+    return walk(params)
 
 
 def _linear_init(key, out_dim, in_dim, use_bias, dtype):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from rstnet_tpu.core import Params, State
 from rstnet_tpu.models.lm import ZERO_TOKEN_ID, scaled_embedding
-from rstnet_tpu.modules.transformer import StreamingTransformer
+from rstnet_tpu.modules.transformer import StreamingTransformer, resolve_weight
 from rstnet_tpu.ops.norms import Norm
 
 
@@ -192,9 +192,9 @@ class MoshiLMModel:
         return hidden, self._text_logits(params, hidden)
 
     def _dep_in(self, params: Params, hidden: jax.Array, cb_index) -> jax.Array:
-        w = params["depformer_in"]
+        w = resolve_weight(params["depformer_in"], hidden.dtype)
         idx = cb_index if self.depformer_multi_linear else 0
-        return hidden @ w[idx].T.astype(hidden.dtype)
+        return hidden @ w[idx].T
 
     def forward_local(
         self, params: Params, text_tokens: jax.Array, audio_targets: jax.Array,
@@ -203,17 +203,18 @@ class MoshiLMModel:
         """Teacher-forced depformer: -> [B, T, dep_q, card]
         (training variant ``models/model.py:321-363``)."""
         B, T, _ = hidden.shape
-        dep_in = jnp.einsum(
-            "btd,kcd->btkc", hidden,
-            (params["depformer_in"] if self.depformer_multi_linear
-             else jnp.repeat(params["depformer_in"], self.dep_q, 0)).astype(hidden.dtype),
-        )
+        w_dep = resolve_weight(params["depformer_in"], hidden.dtype)
+        if not self.depformer_multi_linear:
+            w_dep = jnp.repeat(w_dep, self.dep_q, 0)
+        dep_in = jnp.einsum("btd,kcd->btkc", hidden, w_dep)
         prev = [scaled_embedding(params["depformer_text_emb"], text_tokens)]
         for k in range(self.dep_q - 1):
             prev.append(scaled_embedding(params["depformer_emb"][k], audio_targets[:, k, :]))
         x = (dep_in + jnp.stack(prev, axis=2)).reshape(B * T, self.dep_q, self.depformer_dim)
         out = self.depformer(params["depformer"], x)
-        logits = jnp.einsum("nkc,kvc->nkv", out, params["linears"]["weight"].astype(out.dtype))
+        logits = jnp.einsum(
+            "nkc,kvc->nkv", out, resolve_weight(params["linears"]["weight"], out.dtype)
+        )
         if "bias" in params["linears"]:
             logits = logits + params["linears"]["bias"].astype(logits.dtype)
         return logits.reshape(B, T, self.dep_q, self.card)
@@ -256,7 +257,8 @@ class MoshiLMModel:
             emb = scaled_embedding(params["depformer_emb"][cb_index - 1], prev_token)
         x = dep_in + emb
         out, cf_state = self.depformer.step(params["depformer"], cf_state, x)
-        logits = out @ params["linears"]["weight"][cb_index].T.astype(out.dtype)
+        w_lin = resolve_weight(params["linears"]["weight"], out.dtype)
+        logits = out @ w_lin[cb_index].T
         if "bias" in params["linears"]:
             logits = logits + params["linears"]["bias"][cb_index].astype(logits.dtype)
         return logits, cf_state

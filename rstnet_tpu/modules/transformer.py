@@ -54,6 +54,36 @@ def _linear_init(key, out_dim, in_dim, dtype):
     return jax.random.uniform(key, (out_dim, in_dim), dtype, -bound, bound)
 
 
+def resolve_weight(w, dtype):
+    """Plain array, or a weight-only int8 dict {w_int8, scale} (serving)."""
+    if isinstance(w, dict):
+        return w["w_int8"].astype(dtype) * w["scale"].astype(dtype)[..., None]
+    return w.astype(dtype)
+
+
+def quantize_weight_int8(w: jax.Array) -> dict:
+    """Per-output-channel symmetric int8 (works on stacked [..., out, in])."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1) / 127.0, 1e-8)
+    return {
+        "w_int8": jnp.clip(jnp.round(wf / scale[..., None]), -127, 127).astype(jnp.int8),
+        "scale": scale,
+    }
+
+
+def quantize_transformer_int8(params: Params) -> Params:
+    """Quantize a StreamingTransformer's projections + gating for serving."""
+    layers = dict(params["layers"])
+    for name in ("in_proj", "out_proj", "linear1", "linear2"):
+        if name in layers and not isinstance(layers[name], dict):
+            layers[name] = quantize_weight_int8(layers[name])
+    if "gating" in layers:
+        layers["gating"] = {
+            k: quantize_weight_int8(v) for k, v in layers["gating"].items()
+        }
+    return {**params, "layers": layers}
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamingTransformer:
     """Causal transformer with streaming ring-KV state.
@@ -155,39 +185,46 @@ class StreamingTransformer:
 
     def _project_qkv(self, layer: Params, x: jax.Array, offset) -> tuple:
         B, T, d = x.shape
+        w_in = resolve_weight(layer["in_proj"], x.dtype)
         if self.weights_per_step:
-            w = layer["in_proj"].reshape(self.weights_per_step, 3 * d, d)
+            w = w_in.reshape(self.weights_per_step, 3 * d, d)
             projected = multi_linear(w, x, offset)
         else:
-            projected = x @ layer["in_proj"].T + self._lora(layer, "in_proj", x)
+            projected = x @ w_in.T + self._lora(layer, "in_proj", x)
         # reference layout: (p h d) packing with p=3 → [3, B, H, T, Dh]
         proj = projected.reshape(B, T, 3, self.num_heads, self.head_dim)
         proj = jnp.transpose(proj, (2, 0, 3, 1, 4))
         return proj[0], proj[1], proj[2]
 
     def _out_proj(self, layer: Params, x: jax.Array, offset) -> jax.Array:
+        w_out = resolve_weight(layer["out_proj"], x.dtype)
         if self.weights_per_step:
-            w = layer["out_proj"].reshape(self.weights_per_step, self.d_model, self.d_model)
+            w = w_out.reshape(self.weights_per_step, self.d_model, self.d_model)
             return multi_linear(w, x, offset)
-        return x @ layer["out_proj"].T + self._lora(layer, "out_proj", x)
+        return x @ w_out.T + self._lora(layer, "out_proj", x)
 
     def _ffn(self, layer: Params, x: jax.Array, offset) -> jax.Array:
         h = self._norm(layer["norm2"], x)
         if self.gating == "none":
             act = get_activation(self.activation)
-            update = act(h @ layer["linear1"].T) @ layer["linear2"].T
+            w1 = resolve_weight(layer["linear1"], h.dtype)
+            w2 = resolve_weight(layer["linear2"], h.dtype)
+            update = act(h @ w1.T) @ w2.T
         elif self.weights_per_step:
             T = x.shape[1]
             steps = jnp.asarray(offset) + jnp.arange(T)
-            w_in = jnp.take(layer["gating"]["linear_in"], steps, axis=0, mode="clip")
-            w_out = jnp.take(layer["gating"]["linear_out"], steps, axis=0, mode="clip")
-            g = jnp.einsum("btd,thd->bth", h, w_in.astype(h.dtype))
+            lin_in = resolve_weight(layer["gating"]["linear_in"], h.dtype)
+            lin_out = resolve_weight(layer["gating"]["linear_out"], h.dtype)
+            w_in = jnp.take(lin_in, steps, axis=0, mode="clip")
+            w_out = jnp.take(lin_out, steps, axis=0, mode="clip")
+            g = jnp.einsum("btd,thd->bth", h, w_in)
             gate, val = jnp.split(g, 2, axis=-1)
             gated = get_activation(self.gating)(gate) * val
-            update = jnp.einsum("bth,tdh->btd", gated, w_out.astype(h.dtype))
+            update = jnp.einsum("bth,tdh->btd", gated, w_out)
         else:
+            gp = {k: resolve_weight(v, h.dtype) for k, v in layer["gating"].items()}
             g = ActivationGating(self.d_model, self.dim_feedforward, self.gating)
-            update = g(layer["gating"], h)
+            update = g(gp, h)
         if self._layer_scale is not None:
             update = LayerScale(self.d_model, 0.0)(layer["layer_scale_2"], update)
         return x + update

@@ -147,6 +147,11 @@ def main(argv=None):
         "--tiny", action="store_true",
         help="small random-weight models (demo/smoke; no checkpoints needed)",
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="weight-only int8 LM for serving (~15%% faster frames, "
+             "approximate logits)",
+    )
     args = parser.parse_args(argv)
 
     from rstnet_tpu.models.convert import convert_moshi_lm, load_mimi, load_torch_state_dict
@@ -192,6 +197,18 @@ def main(argv=None):
         from rstnet_tpu.data.tokenizers.text_tokenizer import TextTokenizer
 
         tokenizer = TextTokenizer(args.tokenizer_dir)
+    if args.int8:
+        # MoshiLMModel has the same param layout for the quantized pieces
+        from rstnet_tpu.models.moshi_lm import MoshiLMModel
+        from rstnet_tpu.modules.transformer import (
+            quantize_transformer_int8,
+            quantize_weight_int8,
+        )
+
+        lm_params = dict(lm_params)
+        lm_params["transformer"] = quantize_transformer_int8(lm_params["transformer"])
+        lm_params["depformer"] = quantize_transformer_int8(lm_params["depformer"])
+        lm_params["depformer_in"] = quantize_weight_int8(lm_params["depformer_in"])
     state = ServerState(
         mimi=mimi, mimi_params=mimi_params,
         lm_gen=LMGen(lm, delays=lm.delays), lm_params=lm_params,
