@@ -393,9 +393,9 @@ class Backbone:
             return h, new_kv
 
         # unroll the layer loop for short decode steps (see transformer.py)
+        unroll = self.cfg.n_layer if (T <= 8 and jax.default_backend() == "tpu") else 1
         x, new_kv = lax.scan(
-            body, x, (params["blocks"], windows, state["kv"]),
-            unroll=self.cfg.n_layer if T <= 8 else 1,
+            body, x, (params["blocks"], windows, state["kv"]), unroll=unroll
         )
         x = _norm_apply(self.cfg, params["ln_f"], x)
         return x, {"kv": new_kv, "offset": offset + T}

@@ -306,10 +306,11 @@ class StreamingTransformer:
 
         # Decode steps are latency-bound: unrolling the layer loop lets XLA
         # prefetch each layer's weights during the previous layer's compute
-        # instead of dynamic-slicing them per scan iteration.
+        # instead of dynamic-slicing them per scan iteration. (TPU only —
+        # on CPU it just multiplies compile time.)
+        unroll = self.num_layers if (T <= 8 and jax.default_backend() == "tpu") else 1
         x, new_kv = lax.scan(
-            body, x, (params["layers"], state["kv"]),
-            unroll=self.num_layers if T <= 8 else 1,
+            body, x, (params["layers"], state["kv"]), unroll=unroll
         )
         return x, {"kv": new_kv, "offset": offset + T}
 

@@ -13,7 +13,7 @@ everything else falls back to the masked-einsum path.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Optional
 
 import jax

@@ -8,8 +8,6 @@ the mel loss. Framing + window + rfft; everything fuses under jit.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -198,8 +198,6 @@ def main(argv=None):
 
         tokenizer = TextTokenizer(args.tokenizer_dir)
     if args.int8:
-        # MoshiLMModel has the same param layout for the quantized pieces
-        from rstnet_tpu.models.moshi_lm import MoshiLMModel
         from rstnet_tpu.modules.transformer import (
             quantize_transformer_int8,
             quantize_weight_int8,

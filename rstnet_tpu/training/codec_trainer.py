@@ -20,17 +20,13 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import time
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 import yaml
 
-from rstnet_tpu.core import Params
 from rstnet_tpu.data.codec_dataset import WaveDataset, WaveIterator
 from rstnet_tpu.data.semantic_features import build_teacher
 from rstnet_tpu.losses.gan import (

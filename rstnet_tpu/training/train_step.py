@@ -12,8 +12,6 @@ sharded batch, so no explicit all_reduce is needed).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -18,7 +18,6 @@ from __future__ import annotations
 import logging
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
