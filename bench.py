@@ -113,6 +113,51 @@ def bench_train(n_steps: int = 10) -> dict:
     }
 
 
+def bench_e2e(n_frames: int = 30) -> dict:
+    """Full duplex serving pipeline per 80 ms frame: full-size Mimi encode
+    step + 2B LM frame step + Mimi decode step (the BASELINE.json north
+    star). Amortized device time; per-frame host sync latency is dominated
+    by this environment's tunnel RPC and reported separately by the
+    headline's p50_sync."""
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from rstnet_tpu.inference.generate import LMGen
+    from rstnet_tpu.models.mimi import mimi_24k
+
+    mimi = mimi_24k()
+    mimi_params = jax.block_until_ready(mimi.init(jax.random.PRNGKey(0)))
+    model = _flagship(tiny=False)
+    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q)
+    lm_params = jax.block_until_ready(model.init(jax.random.PRNGKey(1), jnp.bfloat16))
+
+    enc = jax.jit(mimi.encode_step, donate_argnums=(1,))
+    dec = jax.jit(mimi.decode_step, donate_argnums=(1,))
+    lm = jax.jit(gen.step, donate_argnums=(1,))
+    es = mimi.init_encode_state(1)
+    ds = mimi.init_decode_state(1)
+    ls = gen.init_state(1)
+    key = jax.random.PRNGKey(2)
+    chunk = jnp.zeros((1, 1, mimi.frame_size))
+
+    def frame(es, ds, ls, key):
+        codes, es = enc(mimi_params, es, chunk)
+        key, sub = jax.random.split(key)
+        out, valid, ls = lm(lm_params, ls, sub)
+        audio, ds = dec(mimi_params, ds, out[:, 1:, :])
+        return audio, es, ds, ls, key
+
+    for _ in range(4):
+        audio, es, ds, ls, key = frame(es, ds, ls, key)
+    np.asarray(audio)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        audio, es, ds, ls, key = frame(es, ds, ls, key)
+    np.asarray(audio)
+    ms = (time.perf_counter() - t0) / n_frames * 1000
+    return {"e2e_frame_ms": round(ms, 2), "e2e_rt_headroom": round(80.0 / ms, 2)}
+
+
 def main():
     from __graft_entry__ import _flagship
     from rstnet_tpu.inference.generate import LMGen
@@ -172,6 +217,11 @@ def main():
             codec_detail.update(bench_train())
         except Exception as e:  # noqa: BLE001
             codec_detail["train_bench_error"] = str(e)[:120]
+    if os.environ.get("BENCH_E2E", "0") == "1":
+        try:
+            codec_detail.update(bench_e2e())
+        except Exception as e:  # noqa: BLE001
+            codec_detail["e2e_bench_error"] = str(e)[:120]
 
     print(
         json.dumps(
