@@ -69,7 +69,6 @@ fi
 if [ $stage -le 5 ] && [ $stop_stage -ge 5 ]; then
   echo "== stage 5: teacher-forced perplexity =="
   python -m rstnet_tpu.evalsuite.lm_eval \
-      --model_config "$model_config" \
       --checkpoint_dir "$exp_dir" \
       --data_jsons "$data_root/jsons/audio_1.json" \
       --output "$exp_dir/ppl.json"

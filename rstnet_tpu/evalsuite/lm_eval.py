@@ -19,7 +19,8 @@ import numpy as np
 
 def main(argv=None) -> dict:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model_config", required=True)
+    parser.add_argument("--model_config", default="",
+                        help="optional; defaults to the exp dir's saved config")
     parser.add_argument("--checkpoint_dir", default="", help="trainer exp dir")
     parser.add_argument("--data_jsons", required=True)
     parser.add_argument("--batch_scale", type=int, default=1000)
@@ -36,8 +37,29 @@ def main(argv=None) -> dict:
     from rstnet_tpu.models.lm import SpeechTextLM
     from rstnet_tpu.data.tokenizers.abs_tokenizer import AbsTokenizer
 
-    cfg = Config.from_file(args.model_config)
-    model = SpeechTextLM(cfg)
+    import os
+
+    train_args_path = (
+        os.path.join(args.checkpoint_dir, "train_args.yaml")
+        if args.checkpoint_dir
+        else ""
+    )
+    if train_args_path and os.path.isfile(train_args_path):
+        # rebuild exactly the trained model (config + CLI overrides)
+        import argparse as _ap
+
+        import yaml
+
+        from rstnet_tpu.training.trainer import build_model
+
+        with open(train_args_path) as f:
+            saved = yaml.safe_load(f)
+        if args.model_config:
+            saved["model_config"] = args.model_config
+        model = build_model(_ap.Namespace(**saved))
+    else:
+        cfg = Config.from_file(args.model_config)
+        model = SpeechTextLM(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.float32)
     if args.checkpoint_dir:
         from rstnet_tpu.training.checkpoint import latest_checkpoint, restore_checkpoint

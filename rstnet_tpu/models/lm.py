@@ -48,7 +48,7 @@ def scaled_embedding(
     """Embedding where ``zero_idx`` rows output exactly 0
     (``llama_streaming.py:493-518``)."""
     is_zero = tokens == zero_idx
-    y = jnp.take(table, jnp.clip(tokens, 0, None), axis=0)
+    y = jnp.take(table, jnp.clip(tokens, 0, None), axis=0, mode="clip")
     return jnp.where(is_zero[..., None], 0.0, y)
 
 
@@ -152,13 +152,16 @@ class SpeechTextLM:
         card1 = cfg.audio_card + 1
         audio_tokens = sequence[:, 1:, :]  # [B, n_q, T]
         flat_table = params["input_emb"].reshape(cfg.n_q * card1, cfg.n_embd)
-        idx = jnp.clip(audio_tokens, 0, None) + (
+        idx = jnp.clip(audio_tokens, 0, cfg.audio_card) + (
             jnp.arange(cfg.n_q, dtype=audio_tokens.dtype)[None, :, None] * card1
         )
         emb = jnp.take(flat_table, idx, axis=0)  # [B, n_q, T, D]
         emb = jnp.where((audio_tokens == self.zero_token_id)[..., None], 0.0, emb)
         x = jnp.sum(emb, axis=1)  # [B, T, D]
-        x = x + jnp.take(params["backbone"]["wte"], sequence[:, 0, :], axis=0)
+        x = x + jnp.take(
+            params["backbone"]["wte"], jnp.clip(sequence[:, 0, :], 0, None),
+            axis=0, mode="clip",
+        )
         if cfg.scale_embeddings:
             x = x * jnp.asarray(cfg.n_embd**0.5, x.dtype)
         return x

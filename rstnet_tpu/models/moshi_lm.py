@@ -168,7 +168,7 @@ class MoshiLMModel:
         card1 = self.card + 1
         audio_tokens = sequence[:, 1:, :]
         flat = params["emb"].reshape(self.n_q * card1, self.dim)
-        idx = jnp.clip(audio_tokens, 0, None) + (
+        idx = jnp.clip(audio_tokens, 0, self.card) + (
             jnp.arange(self.n_q, dtype=audio_tokens.dtype)[None, :, None] * card1
         )
         emb = jnp.take(flat, idx, axis=0)

@@ -13,8 +13,15 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 
 import numpy as np
+
+
+def _ensure_parent(path: str) -> None:
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
 
 from rstnet_tpu.tools.scp_tools import read_scp
 from rstnet_tpu.utils.audio import read_wav
@@ -41,6 +48,7 @@ def tokenize_audio_scp(scp: str, out: str, checkpoint: str = "") -> int:
             logging.warning(f"skipping {utt}: {e}")
             continue
         data[utt] = tok.tokenize(wav[0], sr)
+    _ensure_parent(out)
     np.savez(out, **data)
     return len(data)
 
@@ -52,6 +60,7 @@ def tokenize_text_scp(scp: str, out: str, tokenizer_dir: str) -> int:
     data = {}
     for utt, text in read_scp(scp):
         data[utt] = tok.tokenize(text)
+    _ensure_parent(out)
     np.savez(out, **data)
     return len(data)
 
@@ -67,6 +76,7 @@ def tokenize_aligned_json_scp(scp: str, out: str, tokenizer_dir: str) -> int:
             meta = json.load(f)
         word_list = tok.tokenize_segment(meta["segments"])
         data[utt] = tok.pad_tokens(word_list, meta["duration"])[None]  # [1, T]
+    _ensure_parent(out)
     np.savez(out, **data)
     return len(data)
 

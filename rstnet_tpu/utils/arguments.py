@@ -55,7 +55,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--moshi_num_heads", type=int, default=32)
     p.add_argument("--moshi_text_card", type=int, default=32000)
     p.add_argument("--checkpoint_path", type=str, default="", help="litgpt lit_model.pth")
-    p.add_argument("--audio_card", type=int, default=2048)
+    p.add_argument("--audio_card", type=int, default=2050,
+                   help="audio vocab incl. empty/pad specials (2048 codes + 2)")
     p.add_argument("--n_q", type=int, default=8)
     p.add_argument("--dep_q", type=int, default=8)
     p.add_argument("--codecformer_dim", type=int, default=1024)
