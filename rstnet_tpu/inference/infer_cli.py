@@ -61,9 +61,10 @@ def main(argv=None) -> None:
             return int(np.shape(x)[-1])
 
     data_dict, text_dict = load_data_for_all_tasks(find_data_jsons(args.data_jsons))
+    # no length filtering: the prefix is sliced from each grid below
     it = build_data_iterator(
         data_dict, text_dict, {"audio": StoredTokens(), "text": StoredTokens()},
-        batch_scale=10_000, max_length=args.prefix_frames + args.max_new_frames,
+        batch_scale=10_000, max_length=-1,
         parallel_number=cfg.n_q + 1, is_train=False,
     )
     inf = OfflineInference(model, params)

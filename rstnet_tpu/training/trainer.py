@@ -122,19 +122,20 @@ def main(argv=None) -> None:
         os.makedirs(args.exp_dir, exist_ok=True)
     setup_logging(rank, args.exp_dir)
     np.random.seed(args.seed)
-    if rank == 0 and args.model_config:
-        # dump the resolved model config for inference reuse
-        # (reference: pre_training_full.py:121-124 -> infer reads it back)
-        import shutil
-
-        shutil.copyfile(args.model_config, f"{args.exp_dir}/config.yaml")
-        with open(f"{args.exp_dir}/train_args.yaml", "w") as f:
-            import yaml
-
-            yaml.safe_dump(vars(args), f, sort_keys=False)
-
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = build_model(args)
+    if rank == 0:
+        # dump the RESOLVED model config (incl. CLI overrides) for inference
+        # reuse (reference: pre_training_full.py:121-124 -> infer reads it)
+        import dataclasses as _dc
+
+        import yaml
+
+        if args.model_family != "moshi":
+            with open(f"{args.exp_dir}/config.yaml", "w") as f:
+                yaml.safe_dump(_dc.asdict(model.config), f, sort_keys=False)
+        with open(f"{args.exp_dir}/train_args.yaml", "w") as f:
+            yaml.safe_dump(vars(args), f, sort_keys=False)
     params = model.init(jax.random.PRNGKey(1337 + args.seed), dtype)
     if args.checkpoint_path:
         from rstnet_tpu.models.convert import (
