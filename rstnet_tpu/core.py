@@ -77,6 +77,20 @@ def seed_everything(seed: int) -> "jax.Array":
     return jax.random.PRNGKey(seed)
 
 
+def lora_dropout(x: "jax.Array", drop) -> "jax.Array":
+    """Dropout on a LoRA branch input (reference semantics: torch
+    ``LoRALinear`` applies ``nn.Dropout`` to x before the A matrix,
+    ``MLLM_v2/models/llama_streaming.py:35-98``). ``drop`` is a
+    ``(rate, key)`` pair, or ``None`` to disable (inference / rate 0) —
+    inverted dropout, so expectation is preserved and eval needs no rescale."""
+    if drop is None:
+        return x
+    rate, key = drop
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
 def model_size_report(params: Params) -> str:
     """Human-readable size summary (codec ``cal_model_size`` equivalent)."""
     n = param_count(params)

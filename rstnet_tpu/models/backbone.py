@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from rstnet_tpu.core import Params, State
+from rstnet_tpu.core import Params, State, lora_dropout
 from rstnet_tpu.models.config import Config, rope_extra_config
 from rstnet_tpu.ops.attention import ring_kv_update
 from rstnet_tpu.ops.rope import apply_rope_halved, build_rope_cache
@@ -32,11 +32,12 @@ from rstnet_tpu.ops.rope import apply_rope_halved, build_rope_cache
 _NEG_INF = float("-inf")
 
 
-def linear(params: Params, x: jax.Array, scaling: float = 1.0) -> jax.Array:
+def linear(params: Params, x: jax.Array, scaling: float = 1.0, drop=None) -> jax.Array:
     """Linear with optional fused LoRA branch (``lora`` sub-dict) and
     optional weight-only int8 quantization (``w_int8`` + per-out-channel
     ``scale``): decode at batch 1 is HBM-bound on weight reads, so int8
-    storage halves the frame-step traffic; dequant fuses into the matmul."""
+    storage halves the frame-step traffic; dequant fuses into the matmul.
+    ``drop``: optional ``(rate, key)`` LoRA-branch dropout (training only)."""
     if "w_int8" in params:
         w = params["w_int8"].astype(x.dtype) * params["scale"].astype(x.dtype)[:, None]
         y = x @ w.T
@@ -44,7 +45,8 @@ def linear(params: Params, x: jax.Array, scaling: float = 1.0) -> jax.Array:
         y = x @ params["weight"].T.astype(x.dtype)
     if "lora" in params:
         lp = params["lora"]
-        y = y + (x @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * scaling
+        xd = lora_dropout(x, drop)
+        y = y + (xd @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * scaling
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
     return y
@@ -186,11 +188,11 @@ class Backbone:
 
     # -- attention ------------------------------------------------------------
 
-    def _qkv(self, block: Params, x: jax.Array):
+    def _qkv(self, block: Params, x: jax.Array, drop=None):
         cfg = self.cfg
         B, T, _ = x.shape
         scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
-        qkv = linear(block["attn"], x, scaling)
+        qkv = linear(block["attn"], x, scaling, drop)
         q_per_kv = cfg.n_head // cfg.n_query_groups
         qkv = qkv.reshape(B, T, cfg.n_query_groups, q_per_kv + 2, cfg.head_size)
         qkv = jnp.transpose(qkv, (0, 2, 3, 1, 4))  # [B, G, q_per_kv+2, T, hs]
@@ -198,8 +200,12 @@ class Backbone:
         k = qkv[:, :, q_per_kv].reshape(B, cfg.n_query_groups, T, cfg.head_size)
         v = qkv[:, :, q_per_kv + 1].reshape(B, cfg.n_query_groups, T, cfg.head_size)
 
+        # One shared dropped input for q/k/v, matching the reference's
+        # LoRAQKVLinear (a single nn.Dropout feeds the packed A).
+        xd = lora_dropout(x, drop)
+
         def lora_delta(lp, heads):
-            d = (x @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * scaling
+            d = (xd @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * scaling
             return jnp.transpose(d.reshape(B, T, heads, cfg.head_size), (0, 2, 1, 3))
 
         attn = block["attn"]
@@ -256,11 +262,19 @@ class Backbone:
 
     # -- block ----------------------------------------------------------------
 
-    def _block(self, block: Params, x, cos, sin, pos_q, pos_k, window, kv_cache, offset):
+    def _block(self, block: Params, x, cos, sin, pos_q, pos_k, window, kv_cache, offset,
+               drop_key=None):
         cfg = self.cfg
         B, T, _ = x.shape
+
+        def site(i):
+            # Independent LoRA-dropout mask per projection site in the block.
+            if drop_key is None:
+                return None
+            return (cfg.lora_dropout, jax.random.fold_in(drop_key, i))
+
         x_normed = _norm_apply(cfg, block["norm_1"], x)
-        q, k, v = self._qkv(block, x_normed)
+        q, k, v = self._qkv(block, x_normed, site(0))
         q, k = self._rope_qk(q, k, cos, sin)
         allow_flash = kv_cache is None and isinstance(offset, int) and offset == 0
         if kv_cache is not None:
@@ -269,35 +283,43 @@ class Backbone:
         y = self._attention(q, k, v, pos_q, pos_k, window, allow_flash)
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, cfg.head_size * cfg.n_head)
         scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
-        attn_out = linear(block["proj"], y, scaling)
+        attn_out = linear(block["proj"], y, scaling, site(1))
         if cfg.post_attention_norm:
             attn_out = _norm_apply(cfg, block["post_attention_norm"], attn_out)
         if cfg.parallel_residual:
             mlp_in = x_normed if cfg.shared_attention_norm else _norm_apply(cfg, block["norm_2"], x)
-            x = self._mlp(block["mlp"], mlp_in) + attn_out + x
+            x = self._mlp(block["mlp"], mlp_in, site(2)) + attn_out + x
         else:
             x = attn_out + x
-            h = self._mlp(block["mlp"], _norm_apply(cfg, block["norm_2"], x))
+            h = self._mlp(block["mlp"], _norm_apply(cfg, block["norm_2"], x), site(2))
             if cfg.post_mlp_norm:
                 h = _norm_apply(cfg, block["post_mlp_norm"], h)
             x = h + x
         return x, kv_cache
 
-    def _mlp(self, mlp: Params, x: jax.Array) -> jax.Array:
+    def _mlp(self, mlp: Params, x: jax.Array, drop=None) -> jax.Array:
         cfg = self.cfg
         scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
         approx = cfg.gelu_approximate != "none"
+
+        def sub(i):
+            if drop is None:
+                return None
+            return (drop[0], jax.random.fold_in(drop[1], i))
+
         if cfg.mlp_class_name == "GptNeoxMLP":
-            h = jax.nn.gelu(linear(mlp["fc"], x, scaling), approximate=approx)
-            return linear(mlp["proj"], h, scaling)
+            h = jax.nn.gelu(linear(mlp["fc"], x, scaling, sub(0)), approximate=approx)
+            return linear(mlp["proj"], h, scaling, sub(1))
         if cfg.mlp_class_name == "LLaMAMLP":
-            h = jax.nn.silu(linear(mlp["fc_1"], x, scaling)) * linear(mlp["fc_2"], x, scaling)
-            return linear(mlp["proj"], h, scaling)
-        if cfg.mlp_class_name == "GemmaMLP":
-            h = jax.nn.gelu(linear(mlp["fc_1"], x, scaling), approximate=approx) * linear(
-                mlp["fc_2"], x, scaling
+            h = jax.nn.silu(linear(mlp["fc_1"], x, scaling, sub(0))) * linear(
+                mlp["fc_2"], x, scaling, sub(1)
             )
-            return linear(mlp["proj"], h, scaling)
+            return linear(mlp["proj"], h, scaling, sub(2))
+        if cfg.mlp_class_name == "GemmaMLP":
+            h = jax.nn.gelu(linear(mlp["fc_1"], x, scaling, sub(0)), approximate=approx) * linear(
+                mlp["fc_2"], x, scaling, sub(1)
+            )
+            return linear(mlp["proj"], h, scaling, sub(2))
         if cfg.mlp_class_name == "LLaMAMoE":
             return self._moe(mlp, x)
         raise ValueError(cfg.mlp_class_name)
@@ -330,8 +352,14 @@ class Backbone:
             x = x * jnp.asarray(self.cfg.n_embd**0.5, x.dtype)
         return x
 
-    def __call__(self, params: Params, x: jax.Array, offset: jax.Array | int = 0) -> jax.Array:
-        """Offline forward over embeddings: [B, T, D] -> [B, T, D] (post ln_f)."""
+    def __call__(
+        self, params: Params, x: jax.Array, offset: jax.Array | int = 0,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Offline forward over embeddings: [B, T, D] -> [B, T, D] (post ln_f).
+        ``dropout_rng`` activates LoRA-branch dropout (``config.lora_dropout``)
+        for training forwards; None (the default) is fully deterministic."""
+        cfg = self.cfg
         T = x.shape[1]
         positions = jnp.asarray(offset) + jnp.arange(T)
         cos, sin = self.rope(positions)
@@ -339,23 +367,43 @@ class Backbone:
         sin = sin.astype(x.dtype)
         pos = positions.astype(jnp.int32)
         windows = self.layer_windows()
+        use_drop = dropout_rng is not None and cfg.lora_r > 0 and cfg.lora_dropout > 0.0
 
-        def body(h, inp):
-            block, window = inp
-            h, _ = self._block(block, h, cos, sin, pos, pos, window, None, 0)
-            return h, None
+        if use_drop:
+            layer_keys = jax.random.split(dropout_rng, cfg.n_layer)
+
+            def body(h, inp):
+                block, window, dkey = inp
+                h, _ = self._block(block, h, cos, sin, pos, pos, window, None, 0, dkey)
+                return h, None
+
+            xs = (params["blocks"], windows, layer_keys)
+        else:
+
+            def body(h, inp):
+                block, window = inp
+                h, _ = self._block(block, h, cos, sin, pos, pos, window, None, 0)
+                return h, None
+
+            xs = (params["blocks"], windows)
 
         if self.cfg.remat:
             body = jax.checkpoint(
                 body, policy=jax.checkpoint_policies.checkpoint_dots
             )
-        x, _ = lax.scan(body, x, (params["blocks"], windows))
+        x, _ = lax.scan(body, x, xs)
         return _norm_apply(self.cfg, params["ln_f"], x)
 
-    def logits(self, params: Params, hidden: jax.Array) -> jax.Array:
+    def logits(
+        self, params: Params, hidden: jax.Array,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
         cfg = self.cfg
         scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
-        out = linear(params["lm_head"], hidden, scaling)
+        drop = None
+        if dropout_rng is not None and cfg.lora_r > 0 and cfg.lora_dropout > 0.0:
+            drop = (cfg.lora_dropout, dropout_rng)
+        out = linear(params["lm_head"], hidden, scaling, drop)
         if cfg.final_logit_softcapping is not None:
             cap = cfg.final_logit_softcapping
             out = jnp.tanh(out / cap) * cap

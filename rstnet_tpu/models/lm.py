@@ -169,12 +169,16 @@ class SpeechTextLM:
     # -- training forward ---------------------------------------------------------
 
     def forward_global(
-        self, params: Params, sequence: jax.Array
+        self, params: Params, sequence: jax.Array, dropout_rng=None
     ) -> tuple[jax.Array, jax.Array]:
-        """[B, 1+n_q, T] -> (transformer_out [B,T,D], text_logits [B,T,V])."""
+        """[B, 1+n_q, T] -> (transformer_out [B,T,D], text_logits [B,T,V]).
+        ``dropout_rng`` enables LoRA-branch dropout (training only)."""
         x = self.fuse_embeddings(params, sequence)
-        hidden = self.backbone(params["backbone"], x)
-        return hidden, self.backbone.logits(params["backbone"], hidden)
+        r_body = r_head = None
+        if dropout_rng is not None:
+            r_body, r_head = jax.random.split(dropout_rng)
+        hidden = self.backbone(params["backbone"], x, dropout_rng=r_body)
+        return hidden, self.backbone.logits(params["backbone"], hidden, dropout_rng=r_head)
 
     def forward_local(
         self,
@@ -214,18 +218,22 @@ class SpeechTextLM:
         return logits.reshape(B, T, cfg.dep_q, cfg.audio_card)
 
     def __call__(
-        self, params: Params, sequence: jax.Array
+        self, params: Params, sequence: jax.Array, dropout_rng=None
     ) -> tuple[jax.Array, jax.Array]:
         """Training forward (``llama_streaming.py:651-663``).
 
         sequence: [B, 1+n_q, S] token grid (text row 0, audio rows 1..n_q).
         Returns (audio_logits [B,S,dep_q,card], text_logits [B,S,V]).
+        ``dropout_rng`` enables LoRA-branch dropout when the config sets
+        ``lora_dropout > 0`` (LoRA fine-tuning forwards).
         """
         B, K, S = sequence.shape
         assert K == self.num_codebooks
         start = jnp.broadcast_to(self.initial_frame(B), (B, K, 1)).astype(sequence.dtype)
         global_input = jnp.concatenate([start, sequence[:, :, :-1]], axis=2)
-        transformer_out, text_logits = self.forward_global(params, global_input)
+        transformer_out, text_logits = self.forward_global(
+            params, global_input, dropout_rng
+        )
         audio_logits = self.forward_local(
             params,
             sequence[:, 0, :],

@@ -54,6 +54,7 @@ class MoshiLMModel:
     depformer_multi_linear: bool = True
     depformer_weights_per_step: bool = True
     depformer_pos_emb: str = "none"
+    lora_dropout: float = 0.0  # temporal-transformer LoRA-branch dropout
 
     def __post_init__(self):
         assert len(self.delays) == self.num_codebooks
@@ -67,6 +68,7 @@ class MoshiLMModel:
             dim_feedforward=int(self.hidden_scale * self.dim), causal=self.causal,
             context=self.context, gating=self.gating, norm=self.norm,
             positional_embedding=self.positional_embedding, max_period=self.max_period,
+            lora_dropout=self.lora_dropout,
         )
 
     @cached_property
@@ -184,10 +186,11 @@ class MoshiLMModel:
             logits = logits + params["text_linear"]["bias"].astype(logits.dtype)
         return logits
 
-    def forward_text(self, params: Params, sequence: jax.Array):
-        """Offline temporal forward: [B, 1+n_q, T] -> (hidden, text_logits)."""
+    def forward_text(self, params: Params, sequence: jax.Array, dropout_rng=None):
+        """Offline temporal forward: [B, 1+n_q, T] -> (hidden, text_logits).
+        ``dropout_rng`` enables LoRA-branch dropout (LoRA fine-tuning)."""
         x = self.fuse_embeddings(params, sequence)
-        hidden = self.transformer(params["transformer"], x)
+        hidden = self.transformer(params["transformer"], x, dropout_rng=dropout_rng)
         hidden = self.out_norm(params["out_norm"], hidden)
         return hidden, self._text_logits(params, hidden)
 
@@ -219,13 +222,13 @@ class MoshiLMModel:
             logits = logits + params["linears"]["bias"].astype(logits.dtype)
         return logits.reshape(B, T, self.dep_q, self.card)
 
-    def __call__(self, params: Params, sequence: jax.Array):
+    def __call__(self, params: Params, sequence: jax.Array, dropout_rng=None):
         """Training forward: [B, 1+n_q, S] -> (audio_logits, text_logits)."""
         B, K, S = sequence.shape
         assert K == self.num_codebooks
         start = jnp.broadcast_to(self.initial_frame(B), (B, K, 1)).astype(sequence.dtype)
         global_input = jnp.concatenate([start, sequence[:, :, :-1]], axis=2)
-        hidden, text_logits = self.forward_text(params, global_input)
+        hidden, text_logits = self.forward_text(params, global_input, dropout_rng)
         audio_logits = self.forward_local(
             params, sequence[:, 0, :], sequence[:, 1 : self.dep_q + 1, :], hidden
         )

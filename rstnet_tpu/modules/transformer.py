@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from rstnet_tpu.core import Params, State
+from rstnet_tpu.core import Params, State, lora_dropout
 from rstnet_tpu.ops.attention import (
     masked_attention,
     multi_linear,
@@ -107,6 +107,7 @@ class StreamingTransformer:
     layer_scale: Optional[float] = None
     weights_per_step: int = 0
     activation: str = "gelu"
+    lora_dropout: float = 0.0  # LoRA-branch dropout rate (training forwards)
 
     def __post_init__(self):
         assert self.d_model % self.num_heads == 0
@@ -173,35 +174,37 @@ class StreamingTransformer:
 
     # -- layer body ---------------------------------------------------------
 
-    def _lora(self, layer: Params, name: str, x: jax.Array) -> jax.Array:
+    def _lora(self, layer: Params, name: str, x: jax.Array, drop=None) -> jax.Array:
         """Optional low-rank branch on a projection (LoRA-Moshi fine-tuning,
-        parity: ``MLLM_v2/modules/transformer_lora.py``)."""
+        parity: ``MLLM_v2/modules/transformer_lora.py``). ``drop``: optional
+        ``(rate, key)`` dropout on the branch input (training only)."""
         lp = layer.get(f"lora_{name}")
         if lp is None:
             return 0.0
-        return (x @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * lp[
+        xd = lora_dropout(x, drop)
+        return (xd @ lp["A"].T.astype(x.dtype)) @ lp["B"].T.astype(x.dtype) * lp[
             "scaling"
         ].astype(x.dtype)
 
-    def _project_qkv(self, layer: Params, x: jax.Array, offset) -> tuple:
+    def _project_qkv(self, layer: Params, x: jax.Array, offset, drop=None) -> tuple:
         B, T, d = x.shape
         w_in = resolve_weight(layer["in_proj"], x.dtype)
         if self.weights_per_step:
             w = w_in.reshape(self.weights_per_step, 3 * d, d)
             projected = multi_linear(w, x, offset)
         else:
-            projected = x @ w_in.T + self._lora(layer, "in_proj", x)
+            projected = x @ w_in.T + self._lora(layer, "in_proj", x, drop)
         # reference layout: (p h d) packing with p=3 → [3, B, H, T, Dh]
         proj = projected.reshape(B, T, 3, self.num_heads, self.head_dim)
         proj = jnp.transpose(proj, (2, 0, 3, 1, 4))
         return proj[0], proj[1], proj[2]
 
-    def _out_proj(self, layer: Params, x: jax.Array, offset) -> jax.Array:
+    def _out_proj(self, layer: Params, x: jax.Array, offset, drop=None) -> jax.Array:
         w_out = resolve_weight(layer["out_proj"], x.dtype)
         if self.weights_per_step:
             w = w_out.reshape(self.weights_per_step, self.d_model, self.d_model)
             return multi_linear(w, x, offset)
-        return x @ w_out.T + self._lora(layer, "out_proj", x)
+        return x @ w_out.T + self._lora(layer, "out_proj", x, drop)
 
     def _ffn(self, layer: Params, x: jax.Array, offset) -> jax.Array:
         h = self._norm(layer["norm2"], x)
@@ -230,10 +233,16 @@ class StreamingTransformer:
         return x + update
 
     def _attn(
-        self, layer: Params, x: jax.Array, offset, kv_cache: Optional[dict]
+        self, layer: Params, x: jax.Array, offset, kv_cache: Optional[dict],
+        drop_key=None,
     ) -> tuple[jax.Array, Optional[dict]]:
+        def site(i):
+            if drop_key is None:
+                return None
+            return (self.lora_dropout, jax.random.fold_in(drop_key, i))
+
         h = self._norm(layer["norm1"], x)
-        q, k, v = self._project_qkv(layer, h, offset)
+        q, k, v = self._project_qkv(layer, h, offset, site(0))
         T = x.shape[1]
         if self.positional_embedding in ("rope", "sin_rope"):
             q, k = apply_rope_interleaved(q, k, offset, self.max_period)
@@ -251,25 +260,41 @@ class StreamingTransformer:
             )
         B = x.shape[0]
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(B, T, self.d_model)
-        update = self._out_proj(layer, attn, offset)
+        update = self._out_proj(layer, attn, offset, site(1))
         if self._layer_scale is not None:
             update = LayerScale(self.d_model, 0.0)(layer["layer_scale_1"], update)
         return x + update, new_cache
 
-    def _layer(self, layer: Params, x, offset, kv_cache):
-        x, new_cache = self._attn(layer, x, offset, kv_cache)
+    def _layer(self, layer: Params, x, offset, kv_cache, drop_key=None):
+        x, new_cache = self._attn(layer, x, offset, kv_cache, drop_key)
         x = self._ffn(layer, x, offset)
         return x, new_cache
 
     # -- offline ------------------------------------------------------------
 
-    def __call__(self, params: Params, x: jax.Array, offset: jax.Array | int = 0) -> jax.Array:
-        """Offline forward, [B, T, C] -> [B, T, C] (full causal mask)."""
+    def __call__(
+        self, params: Params, x: jax.Array, offset: jax.Array | int = 0,
+        dropout_rng: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Offline forward, [B, T, C] -> [B, T, C] (full causal mask).
+        ``dropout_rng`` activates LoRA-branch dropout (``self.lora_dropout``)
+        for training forwards; None is fully deterministic."""
         B, T, C = x.shape
         if self.positional_embedding in ("sin", "sin_rope"):
             positions = jnp.asarray(offset) + jnp.arange(T)
             pos_emb = create_sin_embedding(positions, C, self.max_period)[None]
             x = x + self.positional_scale * pos_emb.astype(x.dtype)
+
+        if dropout_rng is not None and self.lora_dropout > 0.0:
+            layer_keys = jax.random.split(dropout_rng, self.num_layers)
+
+            def body(h, inp):
+                layer, dkey = inp
+                h, _ = self._layer(layer, h, offset, None, dkey)
+                return h, None
+
+            x, _ = lax.scan(body, x, (params["layers"], layer_keys))
+            return x
 
         def body(h, layer):
             h, _ = self._layer(layer, h, offset, None)

@@ -37,10 +37,12 @@ def make_loss_fn(
     if audio_loss_weights is None:
         audio_loss_weights = (2.0,) + (1.0,) * (dep_q - 1)
 
-    def loss_fn(params: Params, batch: dict) -> tuple[jax.Array, dict]:
+    def loss_fn(
+        params: Params, batch: dict, dropout_rng: Optional[jax.Array] = None
+    ) -> tuple[jax.Array, dict]:
         seqs = batch["tokens"]  # [B, 1+n_q, S]
         masks = batch["masks"].astype(jnp.float32)
-        audio_logits, text_logits = model(params, seqs)
+        audio_logits, text_logits = model(params, seqs, dropout_rng=dropout_rng)
         loss_audio, m_audio = cross_entropy_and_accuracy(
             audio_logits,
             seqs[:, 1 : dep_q + 1],
@@ -115,6 +117,7 @@ def make_train_step(
     grad_accum: int = 1,
     trainable_mask: Optional[Params] = None,
     donate: bool = True,
+    dropout_seed: Optional[int] = None,
 ):
     """Build the jitted train step.
 
@@ -122,17 +125,35 @@ def make_train_step(
     ``[A, B, ...]`` and gradients are averaged over a ``lax.scan`` —
     the XLA-native replacement for the reference's ``b_idx % grad_accum``
     deferred-step loop (``pre_training_full.py:226-236``).
+
+    ``dropout_seed`` (not None) threads a per-step PRNG key into
+    ``loss_fn(params, batch, rng)`` — the LoRA-dropout path; the key is
+    derived from ``state["step"]`` inside jit so resume stays deterministic.
     """
 
-    def compute_grads(params, batch):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+    def compute_grads(params, batch, rng=None):
+        if rng is None:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch
+            )
+        else:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng
+            )
         return grads, metrics
 
     def step_fn(state: dict, batch: dict) -> tuple[dict, dict]:
         params = state["params"]
+        base_rng = None
+        if dropout_seed is not None:
+            base_rng = jax.random.fold_in(
+                jax.random.PRNGKey(dropout_seed), state["step"]
+            )
         if grad_accum > 1:
-            def scan_body(acc, micro):
-                grads, metrics = compute_grads(params, micro)
+            def scan_body(acc, inp):
+                micro, idx = inp
+                rng = None if base_rng is None else jax.random.fold_in(base_rng, idx)
+                grads, metrics = compute_grads(params, micro, rng)
                 acc_g, acc_m = acc
                 return (
                     jax.tree.map(jnp.add, acc_g, grads),
@@ -143,11 +164,14 @@ def make_train_step(
             first = jax.tree.map(lambda x: x[0], batch)
             m_shape = jax.eval_shape(lambda p, b: compute_grads(p, b)[1], params, first)
             zero_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
-            (grads, msum), _ = jax.lax.scan(scan_body, (zero_g, zero_m), batch)
+            (grads, msum), _ = jax.lax.scan(
+                scan_body, (zero_g, zero_m),
+                (batch, jnp.arange(grad_accum, dtype=jnp.int32)),
+            )
             grads = jax.tree.map(lambda g: g / grad_accum, grads)
             metrics = jax.tree.map(lambda m: m / grad_accum, msum)
         else:
-            grads, metrics = compute_grads(params, batch)
+            grads, metrics = compute_grads(params, batch, base_rng)
         if trainable_mask is not None:
             grads = jax.tree.map(
                 lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask

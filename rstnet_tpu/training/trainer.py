@@ -77,6 +77,7 @@ def build_model(args):
             depformer_num_heads=args.codecformer_heads,
             depformer_num_layers=args.codecformer_layers,
             depformer_dim_feedforward=args.codecformer_dim_feedforward,
+            lora_dropout=args.lora_dropout if args.lora_r > 0 else 0.0,
         )
     overrides = dict(
         audio_card=args.audio_card, n_q=args.n_q, dep_q=args.dep_q,
@@ -117,6 +118,10 @@ def build_tokenizers(args) -> dict:
 def main(argv=None) -> None:
     initialize_distributed()
     args = get_args(argv)
+    if not 0.0 <= args.lora_dropout < 1.0:
+        raise SystemExit(
+            f"--lora_dropout must be in [0, 1), got {args.lora_dropout}"
+        )
     rank = jax.process_index()
     if rank == 0:
         os.makedirs(args.exp_dir, exist_ok=True)
@@ -171,7 +176,10 @@ def main(argv=None) -> None:
             trainable_mask[k] = jax.tree.map(lambda _: True, params[k])
     elif args.lora_r > 0:
         overlay = init_lora(model.config, jax.random.PRNGKey(7), dtype)
-        params = attach_lora(params, overlay)
+        # the overlay mirrors the *Backbone* param tree (blocks/lm_head at the
+        # top level) — attach it under the LM's "backbone" subtree, where the
+        # forward actually reads the factors
+        params["backbone"] = attach_lora(params["backbone"], overlay)
         trainable_mask = lora_trainable_mask(params)
         # codecformer & embeddings always train in LoRA mode (the reference
         # marks only the backbone lora + keeps local transformer trainable)
@@ -239,7 +247,11 @@ def main(argv=None) -> None:
         if resumed is not None and "reporter" in extras:
             reporter.load_state_dict(extras["reporter"])
             logging.info(f"resumed from {resumed} at epoch {reporter.get_epoch()}")
-        train_step = make_train_step(loss_fn, tx, trainable_mask=trainable_mask)
+        use_lora_dropout = args.lora_r > 0 and args.lora_dropout > 0.0
+        train_step = make_train_step(
+            loss_fn, tx, trainable_mask=trainable_mask,
+            dropout_seed=args.seed if use_lora_dropout else None,
+        )
         eval_step = make_eval_step(loss_fn)
         b_shard = batch_sharding(mesh, 3)
         dp_total = mesh.shape["data"] * mesh.shape["fsdp"]
