@@ -214,4 +214,5 @@ class TrainableMimiCodec:
             keep = jax.random.uniform(k_bypass, (audio.shape[0], 1, 1)) >= self.bypass_rate
             zq = jnp.where(keep, zq, z)
         rec = self.decode_from_latent(params, zq)
+        codes = jnp.swapaxes(codes, 1, 2)  # [B, K, T'], same layout as encode()
         return rec[..., :length], codes, commit, sim_loss, {"quantizer": new_buffers}
