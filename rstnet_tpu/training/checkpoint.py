@@ -128,6 +128,13 @@ def save_model(path: str | Path, params: dict) -> None:
         ckptr.save(path, params)
 
 
+def load_model(path: str | Path, template: dict) -> dict:
+    """Inverse of ``save_model``: restore a weights-only export onto a
+    param tree with the same structure (e.g. ``Model.init`` output)."""
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(_ckpt_dir(path), template)
+
+
 def export_numpy(path: str | Path, params: dict) -> None:
     """Flat .npz export for interop/debug."""
     import numpy as np
