@@ -206,6 +206,15 @@ def main():
 
     from rstnet_tpu.core import param_count
 
+    n_params = param_count(params)
+    # free the decode model's HBM (params ~4 GB bf16 at 2B) before the
+    # optional sub-benches — bench_train builds a full train state and
+    # OOMs on a 16 GB chip if the headline buffers stay resident
+    del params, state, out, step, gen
+    import gc
+
+    gc.collect()
+
     codec_detail = {}
     if os.environ.get("BENCH_CODEC", "1") == "1" and size != "tiny":
         try:
@@ -235,7 +244,7 @@ def main():
                     "p50_sync_ms": round(p50_sync, 3),
                     "amortized_ms": round(amortized, 3),
                     "p90_ms": round(lat[int(len(lat) * 0.9)], 3),
-                    "params_m": round(param_count(params) / 1e6, 1),
+                    "params_m": round(n_params / 1e6, 1),
                     "backbone": f"{model.config.n_embd}x{model.config.n_layer}",
                     "device": jax.devices()[0].platform,
                     "budget_ms": 80.0,

@@ -25,7 +25,7 @@ def splash_available() -> bool:
 
 
 @lru_cache(maxsize=32)
-def _make_kernel(T: int, n_heads: int, context: Optional[int]):
+def _make_kernel(T: int, n_heads: int, context: Optional[int], interpret: bool = False):
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
         splash_attention_mask as sm,
@@ -36,7 +36,7 @@ def _make_kernel(T: int, n_heads: int, context: Optional[int]):
     else:
         mask = sm.CausalMask((T, T))
     mh = sm.MultiHeadMask([mask] * n_heads)
-    return sk.make_splash_mha(mh, head_shards=1, q_seq_shards=1)
+    return sk.make_splash_mha(mh, head_shards=1, q_seq_shards=1, interpret=interpret)
 
 
 def flash_attention(
@@ -45,15 +45,18 @@ def flash_attention(
     v: jax.Array,
     context: Optional[int],
     scale: float,
+    interpret: bool = False,
 ) -> jax.Array:
     """q: [B, H, T, D]; k, v: [B, Hkv, T, D] (GQA repeat applied inside).
-    Causal with optional window ``delta < context``. Returns [B, H, T, D]."""
+    Causal with optional window ``delta < context``. Returns [B, H, T, D].
+    ``interpret=True`` runs the Pallas kernel in interpreter mode (CPU
+    correctness testing only)."""
     B, H, T, D = q.shape
     if k.shape[1] != H:
         rep = H // k.shape[1]
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
-    kernel = _make_kernel(T, H, context)
+    kernel = _make_kernel(T, H, context, interpret)
     q = (q * scale).astype(q.dtype)
 
     def per_batch(qb, kb, vb):
