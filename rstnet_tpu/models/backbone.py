@@ -232,6 +232,25 @@ class Backbone:
         config enables it and the shape qualifies — O(T) memory at context
         3000 instead of the [B, H, T, T] logits tensor."""
         cfg = self.cfg
+        if allow_flash and cfg.sequence_parallel:
+            from rstnet_tpu.ops.context_parallel import (
+                context_parallel_attention,
+                seq_axis_size,
+            )
+
+            n_seq = seq_axis_size()
+            if n_seq > 1 and q.shape[2] % n_seq == 0:
+                if k.shape[1] != q.shape[1]:
+                    rep = q.shape[1] // k.shape[1]
+                    k = jnp.repeat(k, rep, axis=1)
+                    v = jnp.repeat(v, rep, axis=1)
+                return context_parallel_attention(
+                    q, k, v,
+                    context=cfg.context,
+                    scale=1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size),
+                    softcap=cfg.attention_logit_softcapping,
+                    window=window,
+                )
         if allow_flash and cfg.sliding_window_size is None:
             from rstnet_tpu.ops.flash_attention import flash_attention, flash_qualifies
 

@@ -77,6 +77,10 @@ class Config:
     # with the dots policy) — the utils/compile.simple_checkpoint equivalent
     # applied structurally; trades FLOPs for HBM
     remat: bool = False
+    # shard long-sequence training activations over the mesh's `seq` axis;
+    # windowed attention then exchanges only boundary KV blocks via ppermute
+    # (ops/context_parallel.py). No-op when the mesh has no seq axis.
+    sequence_parallel: bool = False
 
     # ---- LoRA (flagship fine-tuning, llama_streaming.py:457-467) ----------
     lora_r: int = 0

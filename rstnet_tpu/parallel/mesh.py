@@ -5,9 +5,17 @@ FSDP and DeepSpeed ZeRO wrappers (SURVEY §2.7): one
 ``jax.sharding.Mesh`` with named axes
 
 * ``data``   — data parallelism (gradients pmean over ICI)
+* ``seq``    — sequence/context parallelism: long-sequence activations are
+               sharded over time; windowed causal attention exchanges one
+               boundary KV block per step (``ops/context_parallel.py``)
 * ``fsdp``   — parameter/optimizer-state sharding (ZeRO-3 equivalent;
                XLA inserts the all-gather/reduce-scatter pairs)
+* ``expert`` — expert parallelism: MoE expert weights sharded over their
+               leading expert axis
 * ``tensor`` — tensor parallelism for the backbone matmuls
+
+Axis order is device-layout order: ``tensor`` innermost (needs the fastest
+ICI links), ``data`` outermost (tolerates DCN on multislice).
 
 Multi-host: call ``jax.distributed.initialize()`` first (the torchrun
 replacement); the same mesh then spans all processes over ICI/DCN.
@@ -22,7 +30,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "seq", "fsdp", "expert", "tensor")
 
 
 def make_mesh(

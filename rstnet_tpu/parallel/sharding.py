@@ -7,6 +7,8 @@ all-gather / reduce-scatter pairs that FSDP and ZeRO-2 hand-coded.
 * ``tensor`` — Megatron-style: column-parallel on up-projections (QKV, FFN
   in-proj, embeddings, heads), row-parallel on down-projections (attn out,
   FFN out), so each block needs one all-reduce per sublayer.
+* ``expert`` — MoE expert stacks (``experts`` subtrees, leading axis = the
+  expert index) shard that axis; the router/gate is replicated.
 * ``fsdp``   — every weight additionally sharded on its largest remaining
   divisible axis.
 * batch      — sharded over ``(data, fsdp)`` combined.
@@ -49,6 +51,16 @@ def _spec_for(path, leaf, mesh: Mesh) -> P:
         "embedding_sum",
     )
 
+    # expert axis: MoE expert stacks shard their expert index. Per-expert
+    # weights are [E, out, in] (plus a leading layer axis when blocks are
+    # lax.scan-stacked), biases [E, out] — the expert axis sits just before
+    # the linear dims.
+    expert_size = mesh.shape.get("expert", 1)
+    if expert_size > 1 and "experts" in keys:
+        e_axis = ndim - 3 if keys[-1] == "weight" else ndim - 2
+        if 0 <= e_axis and shape[e_axis] % expert_size == 0:
+            spec[e_axis] = "expert"
+
     # tensor axis
     if tensor_size > 1 and is_weight and ndim >= 2:
         name = next((k for k in reversed(keys[:-1] if keys[-1] == "weight" else keys)
@@ -63,7 +75,7 @@ def _spec_for(path, leaf, mesh: Mesh) -> P:
             axis = ndim - 2
         else:
             axis = None
-        if axis is not None and shape[axis] % tensor_size == 0:
+        if axis is not None and spec[axis] is None and shape[axis] % tensor_size == 0:
             spec[axis] = "tensor"
 
     # fsdp axis: largest remaining divisible dim
@@ -88,8 +100,13 @@ def shard_params(mesh: Mesh, params: Params) -> Params:
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Batch arrays: leading dim sharded over (data, fsdp) combined."""
-    return NamedSharding(mesh, P(("data", "fsdp"), *([None] * (ndim - 1))))
+    """Batch arrays: leading dim sharded over (data, fsdp) combined; the
+    trailing (time) dim over ``seq`` when the mesh has a seq axis (context
+    parallelism — activations then inherit the T sharding)."""
+    spec: list[Any] = [("data", "fsdp")] + [None] * (ndim - 1)
+    if ndim >= 2 and mesh.shape.get("seq", 1) > 1:
+        spec[-1] = "seq"
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -189,8 +189,22 @@ def main(argv=None) -> None:
 
     # mesh + sharding
     n_dev = len(jax.devices())
-    dp = args.dp if args.dp > 0 else max(1, n_dev // (args.fsdp * args.tensor))
-    mesh = make_mesh({"data": dp, "fsdp": args.fsdp, "tensor": args.tensor})
+    denom = args.fsdp * args.tensor * args.seq * args.expert
+    dp = args.dp if args.dp > 0 else max(1, n_dev // denom)
+    mesh = make_mesh({
+        "data": dp, "seq": args.seq, "fsdp": args.fsdp,
+        "expert": args.expert, "tensor": args.tensor,
+    })
+    if args.seq > 1:
+        if args.model_family == "moshi":
+            raise SystemExit("--seq > 1 requires a backbone model family "
+                             "(context parallelism is wired into the litgpt "
+                             "backbone attention path)")
+        import dataclasses as _dc
+
+        # behavior flag only — the param tree is unchanged, so the already-
+        # initialized/loaded params stay valid
+        model = type(model)(_dc.replace(model.config, sequence_parallel=True))
     logging.info(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
 
     from rstnet_tpu.data.collate import SpecialTokens

@@ -81,6 +81,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=-1, help="data axis size (-1 = infer)")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tensor", type=int, default=1)
+    p.add_argument("--seq", type=int, default=1,
+                   help="sequence/context parallel axis size (shards long "
+                        "sequences over devices; windowed attention exchanges "
+                        "boundary KV blocks over ICI)")
+    p.add_argument("--expert", type=int, default=1,
+                   help="expert parallel axis size (shards MoE expert stacks)")
     # experiment
     p.add_argument("--exp_dir", type=str, default="exp/run")
     p.add_argument("--print_freq", type=int, default=100)
