@@ -237,9 +237,14 @@ class Backbone:
                 context_parallel_attention,
                 seq_axis_size,
             )
+            from rstnet_tpu.parallel.pipeline import pipe_axis_size
 
             n_seq = seq_axis_size()
-            if n_seq > 1 and q.shape[2] % n_seq == 0:
+            # nested shard_map is unsupported: when the layer loop is
+            # pipelined (manual over `pipe`), attention stays dense and the
+            # seq axis falls back to GSPMD's automatic partitioning
+            in_pipeline = cfg.pipeline_parallel and pipe_axis_size() > 1
+            if n_seq > 1 and q.shape[2] % n_seq == 0 and not in_pipeline:
                 if k.shape[1] != q.shape[1]:
                     rep = q.shape[1] // k.shape[1]
                     k = jnp.repeat(k, rep, axis=1)
@@ -410,6 +415,19 @@ class Backbone:
             body = jax.checkpoint(
                 body, policy=jax.checkpoint_policies.checkpoint_dots
             )
+        if cfg.pipeline_parallel:
+            from rstnet_tpu.parallel.pipeline import pipe_axis_size, spmd_pipeline
+
+            n_pipe = pipe_axis_size()
+            n_micro = cfg.pipeline_microbatches or n_pipe
+            if (
+                n_pipe > 1 and cfg.n_layer % n_pipe == 0
+                and x.shape[0] % n_micro == 0
+            ):
+                x = spmd_pipeline(
+                    body, x, xs, n_stages=n_pipe, n_micro=n_micro
+                )
+                return _norm_apply(self.cfg, params["ln_f"], x)
         x, _ = lax.scan(body, x, xs)
         return _norm_apply(self.cfg, params["ln_f"], x)
 

@@ -81,6 +81,12 @@ class Config:
     # windowed attention then exchanges only boundary KV blocks via ppermute
     # (ops/context_parallel.py). No-op when the mesh has no seq axis.
     sequence_parallel: bool = False
+    # pipeline the backbone's layer scan over the mesh's `pipe` axis
+    # (parallel/pipeline.py): each stage holds n_layer/P layers, microbatches
+    # flow via ppermute. No-op when the mesh has no pipe axis.
+    pipeline_parallel: bool = False
+    # microbatch count for the pipeline schedule (0 = one per stage)
+    pipeline_microbatches: int = 0
 
     # ---- LoRA (flagship fine-tuning, llama_streaming.py:457-467) ----------
     lora_r: int = 0

@@ -5,6 +5,9 @@ FSDP and DeepSpeed ZeRO wrappers (SURVEY §2.7): one
 ``jax.sharding.Mesh`` with named axes
 
 * ``data``   — data parallelism (gradients pmean over ICI)
+* ``pipe``   — pipeline parallelism: layer-stacked block params shard their
+               leading layer axis; microbatches flow stage-to-stage via
+               ppermute (``parallel/pipeline.py``)
 * ``seq``    — sequence/context parallelism: long-sequence activations are
                sharded over time; windowed causal attention exchanges one
                boundary KV block per step (``ops/context_parallel.py``)
@@ -30,7 +33,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-AXES = ("data", "seq", "fsdp", "expert", "tensor")
+AXES = ("data", "pipe", "seq", "fsdp", "expert", "tensor")
 
 
 def make_mesh(

@@ -51,6 +51,15 @@ def _spec_for(path, leaf, mesh: Mesh) -> P:
         "embedding_sum",
     )
 
+    # pipe axis: layer-stacked block params ([L, ...]) shard the layer axis
+    # so each pipeline stage holds its contiguous slice of layers
+    pipe_size = mesh.shape.get("pipe", 1)
+    if (
+        pipe_size > 1 and "blocks" in keys and ndim >= 1
+        and shape[0] % pipe_size == 0
+    ):
+        spec[0] = "pipe"
+
     # expert axis: MoE expert stacks shard their expert index. Per-expert
     # weights are [E, out, in] (plus a leading layer axis when blocks are
     # lax.scan-stacked), biases [E, out] — the expert axis sits just before

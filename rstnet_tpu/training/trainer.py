@@ -189,22 +189,28 @@ def main(argv=None) -> None:
 
     # mesh + sharding
     n_dev = len(jax.devices())
-    denom = args.fsdp * args.tensor * args.seq * args.expert
+    denom = args.fsdp * args.tensor * args.seq * args.expert * args.pipe
     dp = args.dp if args.dp > 0 else max(1, n_dev // denom)
     mesh = make_mesh({
-        "data": dp, "seq": args.seq, "fsdp": args.fsdp,
+        "data": dp, "pipe": args.pipe, "seq": args.seq, "fsdp": args.fsdp,
         "expert": args.expert, "tensor": args.tensor,
     })
-    if args.seq > 1:
+    if args.seq > 1 or args.pipe > 1:
         if args.model_family == "moshi":
-            raise SystemExit("--seq > 1 requires a backbone model family "
-                             "(context parallelism is wired into the litgpt "
-                             "backbone attention path)")
+            raise SystemExit("--seq/--pipe > 1 require a backbone model "
+                             "family (context/pipeline parallelism is wired "
+                             "into the litgpt backbone)")
         import dataclasses as _dc
 
-        # behavior flag only — the param tree is unchanged, so the already-
+        # behavior flags only — the param tree is unchanged, so the already-
         # initialized/loaded params stay valid
-        model = type(model)(_dc.replace(model.config, sequence_parallel=True))
+        model = type(model)(_dc.replace(
+            model.config,
+            sequence_parallel=model.config.sequence_parallel or args.seq > 1,
+            pipeline_parallel=model.config.pipeline_parallel or args.pipe > 1,
+            pipeline_microbatches=args.pipeline_microbatches
+            or model.config.pipeline_microbatches,
+        ))
     logging.info(f"mesh: {dict(mesh.shape)} over {n_dev} devices")
 
     from rstnet_tpu.data.collate import SpecialTokens

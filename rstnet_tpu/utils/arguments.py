@@ -81,6 +81,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=-1, help="data axis size (-1 = infer)")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tensor", type=int, default=1)
+    p.add_argument("--pipe", type=int, default=1,
+                   help="pipeline parallel axis size (layer-stacked blocks "
+                        "shard over stages; microbatches flow via ppermute)")
+    p.add_argument("--pipeline_microbatches", type=int, default=0,
+                   help="microbatch count for the pipeline schedule "
+                        "(0 = one per stage)")
     p.add_argument("--seq", type=int, default=1,
                    help="sequence/context parallel axis size (shards long "
                         "sequences over devices; windowed attention exchanges "
