@@ -1,5 +1,6 @@
 """Residual vector quantization: inference codebooks + EMA training updates."""
 
+from rstnet_tpu.quantization.base import DummyQuantizer, QuantizedResult
 from rstnet_tpu.quantization.codebook import EuclideanCodebook
 from rstnet_tpu.quantization.rvq import (
     ResidualVectorQuantizer,
@@ -7,7 +8,9 @@ from rstnet_tpu.quantization.rvq import (
 )
 
 __all__ = [
+    "DummyQuantizer",
     "EuclideanCodebook",
+    "QuantizedResult",
     "ResidualVectorQuantizer",
     "SplitResidualVectorQuantizer",
 ]
