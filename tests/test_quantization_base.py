@@ -18,5 +18,5 @@ def test_dummy_quantizer_round_trip():
     assert codes.shape == (2, 1, 8, 5)
     np.testing.assert_array_equal(np.asarray(q.decode(params, codes)), np.asarray(x))
     assert q.total_codebooks == q.num_codebooks == 1
-    assert float(res.bandwidth) == 8 * 32 * 12.5 / 1000.0
+    assert abs(float(res.bandwidth) - 8 * 32 * 12.5 / 1000.0) < 1e-5
     assert float(res.penalty) == 0.0
