@@ -204,6 +204,30 @@ def main():
     amortized = (time.perf_counter() - t0) / n_frames * 1000.0
     p50 = min(p50_sync, max(amortized, 1e-6))  # headline: best honest estimate
 
+    int8_detail = {}
+    if os.environ.get("BENCH_INT8", "1") == "1" and size != "tiny":
+        # weight-only int8 serving path (the server's --int8 flag): halves
+        # HBM weight traffic, the batch-1 decode bottleneck
+        try:
+            from rstnet_tpu.models.lm import quantize_for_serving
+
+            params_q = jax.block_until_ready(quantize_for_serving(model, params))
+            state_q = gen.init_state(1)
+            for _ in range(4):
+                key, sub = jax.random.split(key)
+                out_q, _, state_q = step(params_q, state_q, sub)
+            np.asarray(out_q)
+            t0 = time.perf_counter()
+            for _ in range(n_frames):
+                key, sub = jax.random.split(key)
+                out_q, _, state_q = step(params_q, state_q, sub)
+            np.asarray(out_q)
+            int8_ms = (time.perf_counter() - t0) / n_frames * 1000.0
+            int8_detail = {"int8_amortized_ms": round(int8_ms, 3)}
+            del params_q, state_q, out_q
+        except Exception as e:  # noqa: BLE001 - the headline must still print
+            int8_detail = {"int8_bench_error": str(e)[:120]}
+
     from rstnet_tpu.core import param_count
 
     n_params = param_count(params)
@@ -248,6 +272,7 @@ def main():
                     "backbone": f"{model.config.n_embd}x{model.config.n_layer}",
                     "device": jax.devices()[0].platform,
                     "budget_ms": 80.0,
+                    **int8_detail,
                     **codec_detail,
                 },
             }

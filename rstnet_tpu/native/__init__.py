@@ -27,7 +27,8 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(_SO)]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           str(_SRC), "-o", str(_SO)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -65,6 +66,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pcm16_to_float.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
             ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.wav_info.restype = ctypes.c_long
+        lib.wav_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.load_codec_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int,
         ]
         _lib = lib
         return _lib
@@ -125,3 +138,65 @@ def float_to_pcm16(audio: np.ndarray) -> Optional[bytes]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
     )
     return out.tobytes()
+
+
+def pcm16_to_float(data: bytes) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.int16)
+    out = np.empty(src.shape[0], np.float32)
+    lib.pcm16_to_float(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), src.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def wav_info(path: str) -> Optional[tuple[int, int, int]]:
+    """-> (n_frames, sample_rate, channels) from the header only, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    sr = ctypes.c_int(0)
+    ch = ctypes.c_int(0)
+    n = lib.wav_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch))
+    if n < 0:
+        return None
+    return int(n), sr.value, ch.value
+
+
+def load_codec_batch(
+    paths: list[str],
+    starts: list[int],
+    seg24: int,
+    seg16: int,
+    sr_main: int = 24000,
+    sr_side: int = 16000,
+    n_threads: int = 8,
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Parallel codec segment loader (windowed read + 24k/16k resample in
+    C++ worker threads; the GIL is released for the whole batch).
+
+    -> (batch24 [N, seg24], batch16 [N, seg16], status [N]; status[i]=0 ok)
+    or None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_starts = np.asarray(starts, np.int64)
+    out24 = np.empty((n, seg24), np.float32)
+    out16 = np.empty((n, seg16), np.float32)
+    status = np.empty(n, np.int64)
+    lib.load_codec_batch(
+        c_paths, n,
+        c_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        seg24, seg16, sr_main, sr_side,
+        out24.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out16.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n_threads,
+    )
+    return out24, out16, status

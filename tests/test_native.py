@@ -86,3 +86,70 @@ def test_native_faster_than_stdlib(built, tmp_path):
     t_py = time.perf_counter() - t0
     # don't be flaky: just require the native path isn't drastically slower
     assert t_native < t_py * 3
+
+
+class TestCodecBatchLoader:
+    """The C++ thread-pool segment loader must reproduce the per-item
+    Python path exactly (same RNG stream, same resample formula)."""
+
+    def _make_files(self, tmp_path):
+        from rstnet_tpu.utils.audio import write_wav
+
+        rng = np.random.default_rng(7)
+        paths = []
+        for i, (sr, seconds, ch) in enumerate(
+            [(48000, 1.1, 1), (24000, 0.9, 2), (16000, 0.1, 1), (22050, 0.7, 1)]
+        ):
+            wav = rng.uniform(-0.8, 0.8, (ch, int(sr * seconds))).astype(np.float32)
+            p = str(tmp_path / f"b{i}.wav")
+            write_wav(p, wav, sr)
+            paths.append(p)
+        flist = tmp_path / "flist.txt"
+        flist.write_text("\n".join(paths))
+        return str(flist)
+
+    def test_batch_matches_per_item(self, tmp_path):
+        from rstnet_tpu import native
+        from rstnet_tpu.data.codec_dataset import WaveDataset
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        flist = self._make_files(tmp_path)
+        seg = 9600  # 0.4 s at 24 kHz
+        ref_ds = WaveDataset(flist, segment_size=seg, split=True, seed=3)
+        fast_ds = WaveDataset(flist, segment_size=seg, split=True, seed=3)
+        want = [ref_ds[i] for i in range(4)]
+        got = fast_ds.load_batch([0, 1, 2, 3])
+        assert got is not None, "native fast path unexpectedly unavailable"
+        b24, b16 = got
+        assert b24.shape == (4, 1, seg) and b16.shape == (4, 1, ref_ds.segment_16k)
+        for i, (a24, a16) in enumerate(want):
+            np.testing.assert_allclose(b24[i], a24, atol=2e-5, err_msg=f"24k item {i}")
+            np.testing.assert_allclose(b16[i], a16, atol=2e-5, err_msg=f"16k item {i}")
+
+    def test_wav_info_matches_read(self, tmp_path):
+        from rstnet_tpu import native
+        from rstnet_tpu.utils.audio import read_wav, write_wav
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        p = str(tmp_path / "info.wav")
+        write_wav(p, np.zeros((2, 1234), np.float32), 22050)
+        info = native.wav_info(p)
+        assert info is not None
+        n, sr, ch = info
+        wav, sr2 = read_wav(p)
+        assert (n, sr, ch) == (wav.shape[1], sr2, wav.shape[0])
+
+    def test_iterator_uses_fast_path(self, tmp_path):
+        from rstnet_tpu.data.codec_dataset import WaveDataset, WaveIterator
+
+        flist = self._make_files(tmp_path)
+        ds = WaveDataset(flist, segment_size=4800, split=True, seed=1)
+        it = WaveIterator(ds, batch_size=2, shuffle=False)
+        batches = list(it)
+        assert len(batches) == 2
+        for b24, b16 in batches:
+            assert b24.shape == (2, 1, 4800)
+            assert b16.shape == (2, 1, 3200)
+            assert np.isfinite(b24).all() and np.isfinite(b16).all()
