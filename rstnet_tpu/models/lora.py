@@ -195,3 +195,24 @@ def merge_lora(cfg: Config, params: Params) -> Params:
     # blocks are stacked along L; merging is vmappable but plain ops broadcast
     # fine since all factors carry the leading L axis already.
     return walk(params)
+
+
+def lora_filter(params: Params) -> Params:
+    """Keep only the LoRA factor subtrees — the PEFT checkpoint is just the
+    adapters (parity: ``lora_filter``/``mark_only_lora_as_trainable``,
+    ``MLLM_v2/models/llama_streaming.py:409-446``). The inverse is
+    ``attach_lora`` onto a freshly-initialized (or pretrained) base tree."""
+    _LORA_KEYS = ("lora", "lora_q", "lora_k", "lora_v")
+
+    def walk(p: Params) -> Params:
+        out = {}
+        for k, v in p.items():
+            if k in _LORA_KEYS:
+                out[k] = v
+            elif isinstance(v, dict):
+                sub = walk(v)
+                if sub:
+                    out[k] = sub
+        return out
+
+    return walk(params)

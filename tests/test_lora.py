@@ -73,3 +73,17 @@ def test_trainable_mask_and_strip():
     assert n_lora == 2 * (3 + 1 + 3) * 1 + 2  # (qkv + proj + mlp3) stacked + head(A,B)
     stripped = strip_lora(params)
     assert jax.tree.structure(stripped) == jax.tree.structure(base)
+
+
+def test_lora_filter_round_trip():
+    """lora_filter keeps exactly the adapter factors; attach_lora onto a
+    fresh base reconstructs the full tree (PEFT checkpoint semantics)."""
+    from rstnet_tpu.models.lora import lora_filter
+
+    cfg, bb, base, full = _setup()
+    overlay = init_lora(cfg, jax.random.PRNGKey(1))
+    adapters = lora_filter(full)
+    assert len(jax.tree.leaves(adapters)) == len(jax.tree.leaves(overlay))
+    rebuilt = attach_lora(bb.init(jax.random.PRNGKey(0)), adapters)
+    for a, b in zip(jax.tree.leaves(rebuilt), jax.tree.leaves(full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
