@@ -412,9 +412,12 @@ class Backbone:
             xs = (params["blocks"], windows)
 
         if self.cfg.remat:
-            body = jax.checkpoint(
-                body, policy=jax.checkpoint_policies.checkpoint_dots
+            policy = (
+                None  # save nothing: recompute the whole block in backward
+                if self.cfg.remat_policy == "nothing"
+                else jax.checkpoint_policies.checkpoint_dots
             )
+            body = jax.checkpoint(body, policy=policy)
         if cfg.pipeline_parallel:
             from rstnet_tpu.parallel.pipeline import pipe_axis_size, spmd_pipeline
 

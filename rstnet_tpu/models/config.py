@@ -77,6 +77,15 @@ class Config:
     # with the dots policy) — the utils/compile.simple_checkpoint equivalent
     # applied structurally; trades FLOPs for HBM
     remat: bool = False
+    # what remat keeps: "dots" (jax checkpoint_dots — saves matmul outputs,
+    # cheaper recompute but holds the 4*d FFN intermediates) or "nothing"
+    # (full recompute — layer boundaries only; the memory floor that lets
+    # batch size, and with it MXU utilization, roughly double)
+    remat_policy: str = "dots"
+    # remat the codecformer per layer too (big win: its [.., dep_q, dep_q]
+    # attention logits pad 16x on TPU and would otherwise be saved, stacked
+    # over layers, in training backward residuals)
+    codecformer_remat: bool = True
     # shard long-sequence training activations over the mesh's `seq` axis;
     # windowed attention then exchanges only boundary KV blocks via ppermute
     # (ops/context_parallel.py). No-op when the mesh has no seq axis.

@@ -76,6 +76,7 @@ class SpeechTextLM:
             max_period=10000,
             layer_scale=None,
             weights_per_step=cfg.dep_q if cfg.codecformer_weights_per_step else 0,
+            remat=cfg.remat and cfg.codecformer_remat,
         )
 
     # -- special tokens -------------------------------------------------------
@@ -234,7 +235,12 @@ class SpeechTextLM:
         transformer_out, text_logits = self.forward_global(
             params, global_input, dropout_rng
         )
-        audio_logits = self.forward_local(
+        forward_local = self.forward_local
+        if self.config.remat:
+            # the depformer's B*T x dep_q activations are the biggest
+            # training tensor after the logits; recompute them in backward
+            forward_local = jax.checkpoint(forward_local)
+        audio_logits = forward_local(
             params,
             sequence[:, 0, :],
             sequence[:, 1 : self.config.dep_q + 1, :],

@@ -108,6 +108,12 @@ class StreamingTransformer:
     weights_per_step: int = 0
     activation: str = "gelu"
     lora_dropout: float = 0.0  # LoRA-branch dropout rate (training forwards)
+    # rematerialize each layer in training backward passes. Besides HBM,
+    # this avoids a TPU layout trap: a depth transformer's [.., S, S]
+    # attention logits (S = weights_per_step, e.g. 8) pad their trailing
+    # (8, 8) tile to (8, 128) — 16x — and a scan over layers would stack
+    # that waste across all layers in the saved residuals
+    remat: bool = False
 
     def __post_init__(self):
         assert self.d_model % self.num_heads == 0
@@ -293,6 +299,8 @@ class StreamingTransformer:
                 h, _ = self._layer(layer, h, offset, None, dkey)
                 return h, None
 
+            if self.remat:
+                body = jax.checkpoint(body)
             x, _ = lax.scan(body, x, (params["layers"], layer_keys))
             return x
 
@@ -300,6 +308,8 @@ class StreamingTransformer:
             h, _ = self._layer(layer, h, offset, None)
             return h, None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         x, _ = lax.scan(body, x, params["layers"])
         return x
 
