@@ -111,12 +111,16 @@ class LMGen:
             k_text, text_logits[:, 0], self.use_sampling, self.temp_text, self.top_k_text
         )  # [B]
 
-        # 4. depformer micro-steps (static unroll over dep_q)
+        # 4. depformer micro-steps (static unroll over dep_q). The
+        # per-codebook input views are one hoisted matmul, not 8.
         cf_state = model.init_codecformer_state(B, dtype=hidden.dtype)
+        dep_ins = model.codecformer_inputs(params, hidden)  # [B, dep_q, 1, C]
         prev = text_token[:, None]
         audio_tokens = []
         for cb in range(cfg.dep_q):
-            logits, cf_state = model.step_codecformer(params, cf_state, cb, prev, hidden)
+            logits, cf_state = model.step_codecformer(
+                params, cf_state, cb, prev, hidden, dep_in=dep_ins[:, cb]
+            )
             key, k_cb = jax.random.split(key)
             tok = sample_token(
                 k_cb, logits[:, 0], self.use_sampling, self.temp, self.top_k,

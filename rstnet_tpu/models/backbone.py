@@ -266,12 +266,15 @@ class Backbone:
                 scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
                 return flash_attention(q, k, v, cfg.context, scale)
         B, H, Tq, D = q.shape
-        if k.shape[1] != H:
-            rep = H // k.shape[1]
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
+        Hkv = k.shape[1]
+        # GQA via a grouped einsum — never materialize the repeated K/V
+        # (a repeat would copy the ring cache H/Hkv x wider per layer)
+        g = H // Hkv
+        qg = q.reshape(B, Hkv, g, Tq, D)
         scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
-        logits = jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32) * scale
+        logits = jnp.einsum(
+            "bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32
+        ) * scale
         if cfg.attention_logit_softcapping is not None:
             cap = cfg.attention_logit_softcapping
             logits = jnp.tanh(logits / cap) * cap
@@ -280,9 +283,10 @@ class Backbone:
         if cfg.context is not None:
             mask = mask & (delta < cfg.context)
         mask = mask & ((window <= 0) | (delta < window))
-        logits = jnp.where(mask[None, None], logits, _NEG_INF)
+        logits = jnp.where(mask[None, None, None], logits, _NEG_INF)
         att = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum("bhts,bhsd->bhtd", att.astype(v.dtype), v)
+        out = jnp.einsum("bhgts,bhsd->bhgtd", att.astype(v.dtype), v)
+        return out.reshape(B, H, Tq, D)
 
     # -- block ----------------------------------------------------------------
 

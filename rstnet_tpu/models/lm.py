@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import cached_property
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -262,6 +263,14 @@ class SpeechTextLM:
         hidden, state = self.backbone.step(params["backbone"], state, x)
         return hidden, self.backbone.logits(params["backbone"], hidden), state
 
+    def codecformer_inputs(self, params: Params, transformer_out: jax.Array) -> jax.Array:
+        """All dep_q per-codebook linear views of the backbone output in ONE
+        matmul: [B, T, D] -> [B, dep_q, T, C]. The views don't depend on the
+        sampled tokens, so the decode loop hoists them out of the 8
+        sequential micro-steps."""
+        w_in = resolve_weight(params["codecformer_in"], transformer_out.dtype)
+        return jnp.einsum("btd,kcd->bktc", transformer_out, w_in)
+
     def step_codecformer(
         self,
         params: Params,
@@ -269,13 +278,17 @@ class SpeechTextLM:
         cb_index: int,
         prev_token: jax.Array,
         transformer_out: jax.Array,
+        dep_in: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, State]:
         """One depth step (static ``cb_index``): prev_token [B, 1],
         transformer_out [B, 1, D] -> (logits [B, 1, card], cf_state).
-        Parity: ``forward_codecformer`` (llama_streaming.py:727-749)."""
+        ``dep_in`` (optional): this step's precomputed [B, 1, C] view from
+        ``codecformer_inputs``. Parity: ``forward_codecformer``
+        (llama_streaming.py:727-749)."""
         cfg = self.config
-        w_in = resolve_weight(params["codecformer_in"], transformer_out.dtype)
-        dep_in = transformer_out @ w_in[cb_index].T
+        if dep_in is None:
+            w_in = resolve_weight(params["codecformer_in"], transformer_out.dtype)
+            dep_in = transformer_out @ w_in[cb_index].T
         if cb_index == 0:
             emb = scaled_embedding(params["codecformer_text_emb"], prev_token)
         else:

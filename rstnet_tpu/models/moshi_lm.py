@@ -248,12 +248,25 @@ class MoshiLMModel:
     def init_codecformer_state(self, batch_size: int, dtype=jnp.bfloat16) -> State:
         return self.depformer.init_state(batch_size, dtype)
 
+    def codecformer_inputs(self, params: Params, hidden: jax.Array) -> jax.Array:
+        """All dep_q per-codebook ``depformer_in`` views of the backbone
+        output in ONE matmul: [B, T, D] -> [B, dep_q, T, C]. They don't
+        depend on sampled tokens, so LMGen hoists them out of the
+        sequential micro-steps."""
+        w = resolve_weight(params["depformer_in"], hidden.dtype)
+        if not self.depformer_multi_linear:
+            w = jnp.repeat(w, self.dep_q, 0)
+        return jnp.einsum("btd,kcd->bktc", hidden, w)
+
     def step_codecformer(
         self, params: Params, cf_state: State, cb_index: int,
-        prev_token: jax.Array, hidden: jax.Array,
+        prev_token: jax.Array, hidden: jax.Array, dep_in=None,
     ):
-        """One depformer micro-step (``forward_depformer``, lm.py:286)."""
-        dep_in = self._dep_in(params, hidden, cb_index)
+        """One depformer micro-step (``forward_depformer``, lm.py:286).
+        ``dep_in`` (optional): this step's precomputed [B, 1, C] view from
+        ``codecformer_inputs``."""
+        if dep_in is None:
+            dep_in = self._dep_in(params, hidden, cb_index)
         if cb_index == 0:
             emb = scaled_embedding(params["depformer_text_emb"], prev_token)
         else:

@@ -55,11 +55,24 @@ def ring_kv_update(
     """
     T = k_new.shape[2]
     capacity = cache["k"].shape[2]
-    idx = (jnp.arange(T, dtype=jnp.int32) + end) % capacity
-    new_cache = {
-        "k": cache["k"].at[:, :, idx, :].set(k_new.astype(cache["k"].dtype)),
-        "v": cache["v"].at[:, :, idx, :].set(v_new.astype(cache["v"].dtype)),
-    }
+    if T == 1:
+        # decode hot path: one contiguous slot — dynamic_update_slice is an
+        # in-place write, where a traced-index scatter costs ~100us/layer
+        pos = (end % capacity).astype(jnp.int32)
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k_new.astype(cache["k"].dtype), pos, axis=2
+            ),
+            "v": jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v_new.astype(cache["v"].dtype), pos, axis=2
+            ),
+        }
+    else:
+        idx = (jnp.arange(T, dtype=jnp.int32) + end) % capacity
+        new_cache = {
+            "k": cache["k"].at[:, :, idx, :].set(k_new.astype(cache["k"].dtype)),
+            "v": cache["v"].at[:, :, idx, :].set(v_new.astype(cache["v"].dtype)),
+        }
     new_end = end + T
     return new_cache, ring_positions(capacity, new_end), new_end
 
@@ -80,24 +93,25 @@ def masked_attention(
     """
     B, H, Tq, D = q.shape
     Hkv = k.shape[1]
-    if Hkv != H:
-        assert H % Hkv == 0
-        rep = H // Hkv
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
     scale = 1.0 / (D**0.5)
+    # GQA via a grouped einsum: never materialize the repeated K/V (a
+    # jnp.repeat would copy the whole ring cache H/Hkv x wider per layer —
+    # hundreds of MB of pure HBM traffic per decode frame at context 3000)
+    assert H % Hkv == 0
+    g = H // Hkv
+    qg = q.reshape(B, Hkv, g, Tq, D)
     logits = jnp.einsum(
-        "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+        "bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32
     ) * scale
     if causal:
         delta = pos_q[:, None] - pos_k[None, :]
         mask = (pos_k[None, :] >= 0) & (delta >= 0)
         if context is not None:
             mask = mask & (delta < context)
-        logits = jnp.where(mask[None, None], logits, _NEG_INF)
+        logits = jnp.where(mask[None, None, None], logits, _NEG_INF)
     att = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhts,bhsd->bhtd", att.astype(v.dtype), v)
-    return out
+    out = jnp.einsum("bhgts,bhsd->bhgtd", att.astype(v.dtype), v)
+    return out.reshape(B, H, Tq, D)
 
 
 def prefix_lm_mask(loss_mask: jax.Array, prefix_lm: bool = True) -> jax.Array:
