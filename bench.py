@@ -158,6 +158,67 @@ def bench_e2e(n_frames: int = 30) -> dict:
     return {"e2e_frame_ms": round(ms, 2), "e2e_rt_headroom": round(80.0 / ms, 2)}
 
 
+def bench_sessions(n_frames: int = 20) -> dict:
+    """Concurrent real-time duplex sessions per chip: the full batched
+    pipeline (Mimi encode step + 2B LM frame step + Mimi decode step over
+    one shared batch, per-slot session-age masking) swept over batch sizes;
+    a batch qualifies while the amortized frame time stays under 80 ms."""
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from rstnet_tpu.inference.generate import LMGen
+    from rstnet_tpu.models.mimi import mimi_24k
+
+    mimi = mimi_24k()
+    mimi_params = jax.block_until_ready(mimi.init(jax.random.PRNGKey(0)))
+    model = _flagship(tiny=False)
+    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q)
+    lm_params = jax.block_until_ready(model.init(jax.random.PRNGKey(1), jnp.bfloat16))
+
+    enc = jax.jit(mimi.encode_step, donate_argnums=(1,))
+    dec = jax.jit(mimi.decode_step, donate_argnums=(1,))
+    lm = jax.jit(gen.step, donate_argnums=(1,))
+
+    best = {"sessions_per_chip": 0}
+    for B in (8, 16, 32):
+        try:
+            es = mimi.init_encode_state(B)
+            ds = mimi.init_decode_state(B)
+            ls = gen.init_state(B)
+            age = jnp.zeros((B,), jnp.int32)
+            key = jax.random.PRNGKey(2)
+            chunk = jnp.zeros((B, 1, mimi.frame_size))
+
+            def frame(es, ds, ls, age, key):
+                codes, es = enc(mimi_params, es, chunk, age)
+                key, sub = jax.random.split(key)
+                out, valid, ls = lm(lm_params, ls, sub)
+                audio, ds = dec(mimi_params, ds, out[:, 1:, :], age)
+                return audio, es, ds, ls, age + 1, key
+
+            for _ in range(3):
+                audio, es, ds, ls, age, key = frame(es, ds, ls, age, key)
+            np.asarray(audio)
+            t0 = time.perf_counter()
+            for _ in range(n_frames):
+                audio, es, ds, ls, age, key = frame(es, ds, ls, age, key)
+            np.asarray(audio)
+            ms = (time.perf_counter() - t0) / n_frames * 1000
+            del es, ds, ls, audio
+            if ms < 80.0:
+                best = {
+                    "sessions_per_chip": B,
+                    "sessions_frame_ms": round(ms, 2),
+                    "sessions_frames_per_sec": round(B * 1000 / ms, 1),
+                }
+            else:
+                break
+        except Exception as e:  # noqa: BLE001 - report the last passing size
+            best.setdefault("sessions_bench_error", str(e)[:120])
+            break
+    return best
+
+
 def main():
     from __graft_entry__ import _flagship
     from rstnet_tpu.inference.generate import LMGen
@@ -250,6 +311,11 @@ def main():
             codec_detail.update(bench_train())
         except Exception as e:  # noqa: BLE001
             codec_detail["train_bench_error"] = str(e)[:120]
+    if os.environ.get("BENCH_SESSIONS", "0") == "1":
+        try:
+            codec_detail.update(bench_sessions())
+        except Exception as e:  # noqa: BLE001 - the headline must still print
+            codec_detail["sessions_bench_error"] = str(e)[:120]
     if os.environ.get("BENCH_E2E", "0") == "1":
         try:
             codec_detail.update(bench_e2e())

@@ -65,7 +65,26 @@ class LMGen:
                 (batch_size, K, self.cache_len), UNGENERATED_TOKEN_ID, jnp.int32
             ),
             "offset": jnp.zeros((), jnp.int32),
+            # per-slot frame count: lets independent sessions share one
+            # batched decode step (multi-session serving). A slot's age
+            # bounds its attention lookback (min_pos), drives its own
+            # delay-warmup, and is zeroed by reset_slots on session join.
+            "age": jnp.zeros((batch_size,), jnp.int32),
             "lm": self.model.init_state(batch_size, dtype),
+        }
+
+    def reset_slots(self, state: State, slots) -> State:
+        """Reset batch slots for new sessions (multi-session serving).
+
+        ``slots``: int index array/list. Clears the slots' delay-cache rows
+        and zeroes their age; the LM ring KV needs no clearing because the
+        per-slot ``min_pos`` mask hides all keys older than the slot's age.
+        """
+        slots = jnp.asarray(slots, jnp.int32)
+        return {
+            **state,
+            "cache": state["cache"].at[slots].set(UNGENERATED_TOKEN_ID),
+            "age": state["age"].at[slots].set(0),
         }
 
     def step(
@@ -78,13 +97,17 @@ class LMGen:
         """One frame step.
 
         input_tokens: [B, num_user_streams, 1] (omit when no user streams).
-        Returns (frame [B, dep_q+1, 1], valid scalar bool, state). The frame
-        holds UNGENERATED during the max_delay warmup (valid=False).
+        Returns (frame [B, dep_q+1, 1], valid [B] bool, state). A slot's
+        frame holds UNGENERATED during its max_delay warmup (valid=False).
+        Slots are independent sessions: each has its own age (warmup and
+        attention lookback), so a batched serving loop can join/leave
+        sessions with ``reset_slots`` without disturbing the others.
         """
         model = self.model
         cfg = model.config
         cache = state["cache"]
         offset = state["offset"]
+        age = state["age"]  # [B]
         B, K, CT = cache.shape
         delays = jnp.asarray(self.delays, jnp.int32)
 
@@ -95,17 +118,21 @@ class LMGen:
             write_pos = (offset + delays[ks]) % CT  # [U]
             cache = cache.at[:, ks, write_pos].set(input_tokens[:, :, 0])
 
-        # 2. at the start, delayed streams read the initial token
+        # 2. at the start of a slot's session, delayed streams read the
+        # initial token (per-slot: age, not the global offset)
         position = offset % CT
         initial = jnp.broadcast_to(model.initial_frame(B)[:, :, 0], (B, K))
-        use_initial = offset <= delays  # [K]
+        use_initial = age[:, None] <= delays[None, :]  # [B, K]
         current = cache[:, :, position]
-        current = jnp.where(use_initial[None, :], initial, current)
+        current = jnp.where(use_initial, initial, current)
         cache = cache.at[:, :, position].set(current)
 
-        # 3. backbone step on the current frame
+        # 3. backbone step on the current frame; min_pos hides ring-cache
+        # keys written before each slot's session started
         frame = current[:, :, None]  # [B, K, 1]
-        hidden, text_logits, lm_state = model.step_global(params, state["lm"], frame)
+        hidden, text_logits, lm_state = model.step_global(
+            params, state["lm"], frame, min_pos=offset - age
+        )
         key, k_text = jax.random.split(key)
         text_token = sample_token(
             k_text, text_logits[:, 0], self.use_sampling, self.temp_text, self.top_k_text
@@ -132,6 +159,7 @@ class LMGen:
 
         # 5. write generated tokens at the next position
         offset = offset + 1
+        age = age + 1
         position = offset % CT
         cache = cache.at[:, 0, position].set(text_token)
         cache = cache.at[:, 1 : cfg.dep_q + 1, position].set(audio)
@@ -144,6 +172,6 @@ class LMGen:
             jnp.broadcast_to(index[None, :, None], (B, cfg.dep_q + 1, 1)),
             axis=2,
         )
-        valid = offset > self.max_delay
-        new_state = {"cache": cache, "offset": offset, "lm": lm_state}
+        valid = age > self.max_delay  # [B]
+        new_state = {"cache": cache, "offset": offset, "age": age, "lm": lm_state}
         return out, valid, new_state

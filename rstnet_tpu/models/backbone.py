@@ -223,7 +223,8 @@ class Backbone:
         k = jnp.concatenate([apply_rope_halved(k[..., :n], cos, sin), k[..., n:]], -1)
         return q, k
 
-    def _attention(self, q, k, v, pos_q, pos_k, window, allow_flash: bool = False):
+    def _attention(self, q, k, v, pos_q, pos_k, window, allow_flash: bool = False,
+                   min_pos=None):
         """Windowed-causal attention with GQA repeat, f32 softmax, and
         optional logit softcapping. ``window``: traced per-layer scalar
         (0 = no sliding window; config.context still applies).
@@ -283,7 +284,13 @@ class Backbone:
         if cfg.context is not None:
             mask = mask & (delta < cfg.context)
         mask = mask & ((window <= 0) | (delta < window))
-        logits = jnp.where(mask[None, None, None], logits, _NEG_INF)
+        if min_pos is not None:
+            # per-batch-row session floor (multi-session batched decode: a
+            # slot that joined later must not see keys from before its join)
+            bmask = mask[None] & (pos_k[None, None, :] >= min_pos[:, None, None])
+            logits = jnp.where(bmask[:, None, None], logits, _NEG_INF)
+        else:
+            logits = jnp.where(mask[None, None, None], logits, _NEG_INF)
         att = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhgts,bhsd->bhgtd", att.astype(v.dtype), v)
         return out.reshape(B, H, Tq, D)
@@ -291,7 +298,7 @@ class Backbone:
     # -- block ----------------------------------------------------------------
 
     def _block(self, block: Params, x, cos, sin, pos_q, pos_k, window, kv_cache, offset,
-               drop_key=None):
+               drop_key=None, min_pos=None):
         cfg = self.cfg
         B, T, _ = x.shape
 
@@ -308,7 +315,7 @@ class Backbone:
         if kv_cache is not None:
             kv_cache, pos_k, _ = ring_kv_update(kv_cache, offset, k, v)
             k, v = kv_cache["k"], kv_cache["v"]
-        y = self._attention(q, k, v, pos_q, pos_k, window, allow_flash)
+        y = self._attention(q, k, v, pos_q, pos_k, window, allow_flash, min_pos)
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, cfg.head_size * cfg.n_head)
         scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
         attn_out = linear(block["proj"], y, scaling, site(1))
@@ -468,8 +475,12 @@ class Backbone:
             "offset": jnp.zeros((), jnp.int32),
         }
 
-    def step(self, params: Params, state: State, x: jax.Array) -> tuple[jax.Array, State]:
-        """Streaming chunk over embeddings with ring-KV caches."""
+    def step(self, params: Params, state: State, x: jax.Array,
+             min_pos: Optional[jax.Array] = None) -> tuple[jax.Array, State]:
+        """Streaming chunk over embeddings with ring-KV caches.
+
+        ``min_pos`` ([B] int32, optional): per-batch-row limit on attention
+        lookback (multi-session batched serving; see ``masked_attention``)."""
         T = x.shape[1]
         offset = state["offset"]
         positions = offset + jnp.arange(T)
@@ -481,7 +492,9 @@ class Backbone:
 
         def body(h, inp):
             block, window, kv = inp
-            h, new_kv = self._block(block, h, cos, sin, pos_q, None, window, kv, offset)
+            h, new_kv = self._block(
+                block, h, cos, sin, pos_q, None, window, kv, offset, min_pos=min_pos
+            )
             return h, new_kv
 
         # unroll the layer loop for short decode steps (see transformer.py)

@@ -255,12 +255,14 @@ class SpeechTextLM:
         return self.backbone.init_state(batch_size, dtype)
 
     def step_global(
-        self, params: Params, state: State, frame: jax.Array
+        self, params: Params, state: State, frame: jax.Array,
+        min_pos: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, jax.Array, State]:
         """One temporal step: frame [B, 1+n_q, 1] -> (hidden [B,1,D],
-        text_logits [B,1,V], state)."""
+        text_logits [B,1,V], state). ``min_pos`` [B]: per-slot attention
+        lookback limit for multi-session batched serving."""
         x = self.fuse_embeddings(params, frame)
-        hidden, state = self.backbone.step(params["backbone"], state, x)
+        hidden, state = self.backbone.step(params["backbone"], state, x, min_pos=min_pos)
         return hidden, self.backbone.logits(params["backbone"], hidden), state
 
     def codecformer_inputs(self, params: Params, transformer_out: jax.Array) -> jax.Array:

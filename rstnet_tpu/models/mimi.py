@@ -142,16 +142,35 @@ class MimiModel:
             s["upsample"] = self.upsample.init_state(batch_size, dtype)
         return s
 
+    @property
+    def _transformer_steps_per_frame(self) -> int:
+        """Codec-transformer positions consumed per 12.5 Hz frame."""
+        return self.resample_stride if self.needs_resample else 1
+
+    def _session_min_pos(self, tr_state: State, session_age) -> Optional[jax.Array]:
+        """Global transformer position where each slot's session started.
+
+        ``session_age`` [B]: codec frames each slot has already processed
+        (multi-session batched serving). Keys written before a slot joined
+        fall below its floor and are masked out of attention."""
+        if session_age is None:
+            return None
+        return tr_state["offset"] - session_age * self._transformer_steps_per_frame
+
     def encode_step(
-        self, params: Params, state: State, x: jax.Array
+        self, params: Params, state: State, x: jax.Array, session_age=None
     ) -> tuple[jax.Array, State]:
-        """One streaming chunk: [B, C, frame_size*n] -> [B, K, n] codes."""
+        """One streaming chunk: [B, C, frame_size*n] -> [B, K, n] codes.
+
+        ``session_age`` ([B] int32, optional): per-slot frame count for
+        multi-session batched serving (see ``reset_encode_slots``)."""
         new_state = dict(state)
         emb, new_state["encoder"] = self.encoder.step(
             params["encoder"], state["encoder"], x
         )
         (emb,), new_state["encoder_transformer"] = self.encoder_transformer.step(
-            params["encoder_transformer"], state["encoder_transformer"], emb
+            params["encoder_transformer"], state["encoder_transformer"], emb,
+            min_pos=self._session_min_pos(state["encoder_transformer"], session_age),
         )
         if self.downsample is not None:
             emb, new_state["downsample"] = self.downsample.step(
@@ -161,9 +180,12 @@ class MimiModel:
         return codes, new_state
 
     def decode_step(
-        self, params: Params, state: State, codes: jax.Array
+        self, params: Params, state: State, codes: jax.Array, session_age=None
     ) -> tuple[jax.Array, State]:
-        """One streaming chunk: [B, K, n] codes -> [B, C, frame_size*n]."""
+        """One streaming chunk: [B, K, n] codes -> [B, C, frame_size*n].
+
+        ``session_age`` ([B] int32, optional): per-slot frame count for
+        multi-session batched serving (see ``reset_decode_slots``)."""
         new_state = dict(state)
         emb = self.decode_latent(params, codes)
         if self.upsample is not None:
@@ -171,12 +193,46 @@ class MimiModel:
                 params["upsample"], state["upsample"], emb
             )
         (emb,), new_state["decoder_transformer"] = self.decoder_transformer.step(
-            params["decoder_transformer"], state["decoder_transformer"], emb
+            params["decoder_transformer"], state["decoder_transformer"], emb,
+            min_pos=self._session_min_pos(state["decoder_transformer"], session_age),
         )
         out, new_state["decoder"] = self.decoder.step(
             params["decoder"], state["decoder"], emb
         )
         return out, new_state
+
+    # -- multi-session slot management (batched serving) --------------------
+
+    @staticmethod
+    def _zero_slot_rows(tree: State, slots: jax.Array) -> State:
+        """Zero batch rows of conv/resample carries (axis 0 = batch; zero
+        carry == fresh causal padding). Scalar leaves are untouched."""
+        return jax.tree_util.tree_map(
+            lambda leaf: leaf.at[slots].set(0) if leaf.ndim >= 1 else leaf, tree
+        )
+
+    def reset_encode_slots(self, state: State, slots) -> State:
+        """Reset batch slots of a streaming encode state for new sessions.
+
+        Conv/resample carries are zeroed per slot (== fresh causal pad); the
+        encoder transformer's ring KV needs no clearing because the per-slot
+        ``session_age`` floor passed to ``encode_step`` masks stale keys.
+        """
+        slots = jnp.asarray(slots, jnp.int32)
+        new_state = dict(state)
+        new_state["encoder"] = self._zero_slot_rows(state["encoder"], slots)
+        if "downsample" in state:
+            new_state["downsample"] = self._zero_slot_rows(state["downsample"], slots)
+        return new_state
+
+    def reset_decode_slots(self, state: State, slots) -> State:
+        """Reset batch slots of a streaming decode state for new sessions."""
+        slots = jnp.asarray(slots, jnp.int32)
+        new_state = dict(state)
+        new_state["decoder"] = self._zero_slot_rows(state["decoder"], slots)
+        if "upsample" in state:
+            new_state["upsample"] = self._zero_slot_rows(state["upsample"], slots)
+        return new_state
 
 
 def mimi_24k(

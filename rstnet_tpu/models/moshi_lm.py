@@ -239,9 +239,9 @@ class MoshiLMModel:
     def init_state(self, batch_size: int, dtype=jnp.bfloat16) -> State:
         return self.transformer.init_state(batch_size, dtype)
 
-    def step_global(self, params: Params, state: State, frame: jax.Array):
+    def step_global(self, params: Params, state: State, frame: jax.Array, min_pos=None):
         x = self.fuse_embeddings(params, frame)
-        hidden, state = self.transformer.step(params["transformer"], state, x)
+        hidden, state = self.transformer.step(params["transformer"], state, x, min_pos=min_pos)
         hidden = self.out_norm(params["out_norm"], hidden)
         return hidden, self._text_logits(params, hidden), state
 

@@ -240,7 +240,7 @@ class StreamingTransformer:
 
     def _attn(
         self, layer: Params, x: jax.Array, offset, kv_cache: Optional[dict],
-        drop_key=None,
+        drop_key=None, min_pos=None,
     ) -> tuple[jax.Array, Optional[dict]]:
         def site(i):
             if drop_key is None:
@@ -262,7 +262,8 @@ class StreamingTransformer:
             new_cache, pos_k, _ = ring_kv_update(kv_cache, jnp.asarray(offset), k, v)
             pos_q = jnp.asarray(offset, jnp.int32) + jnp.arange(T, dtype=jnp.int32)
             attn = masked_attention(
-                q, new_cache["k"], new_cache["v"], pos_q, pos_k, self.context, True
+                q, new_cache["k"], new_cache["v"], pos_q, pos_k, self.context, True,
+                min_pos=min_pos,
             )
         B = x.shape[0]
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(B, T, self.d_model)
@@ -271,8 +272,8 @@ class StreamingTransformer:
             update = LayerScale(self.d_model, 0.0)(layer["layer_scale_1"], update)
         return x + update, new_cache
 
-    def _layer(self, layer: Params, x, offset, kv_cache, drop_key=None):
-        x, new_cache = self._attn(layer, x, offset, kv_cache, drop_key)
+    def _layer(self, layer: Params, x, offset, kv_cache, drop_key=None, min_pos=None):
+        x, new_cache = self._attn(layer, x, offset, kv_cache, drop_key, min_pos)
         x = self._ffn(layer, x, offset)
         return x, new_cache
 
@@ -325,8 +326,12 @@ class StreamingTransformer:
         kv = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         return {"kv": kv, "offset": jnp.zeros((), jnp.int32)}
 
-    def step(self, params: Params, state: State, x: jax.Array) -> tuple[jax.Array, State]:
-        """Streaming chunk of T steps (T=1 for generation)."""
+    def step(self, params: Params, state: State, x: jax.Array,
+             min_pos: Optional[jax.Array] = None) -> tuple[jax.Array, State]:
+        """Streaming chunk of T steps (T=1 for generation).
+
+        ``min_pos`` ([B] int32, optional): per-batch-row attention lookback
+        limit (multi-session batched serving; see ``masked_attention``)."""
         B, T, C = x.shape
         offset = state["offset"]
         if self.positional_embedding in ("sin", "sin_rope"):
@@ -336,7 +341,7 @@ class StreamingTransformer:
 
         def body(h, inp):
             layer, kv = inp
-            h, new_kv = self._layer(layer, h, offset, kv)
+            h, new_kv = self._layer(layer, h, offset, kv, min_pos=min_pos)
             return h, new_kv
 
         # Decode steps are latency-bound: unrolling the layer loop lets XLA
@@ -395,6 +400,8 @@ class ProjectedTransformer:
     def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1) -> State:
         return self.transformer.init_state(batch_size, dtype, chunk_size)
 
-    def step(self, params: Params, state: State, x: jax.Array):
-        z, state = self.transformer.step(params["transformer"], state, self._pre(params, x))
+    def step(self, params: Params, state: State, x: jax.Array, min_pos=None):
+        z, state = self.transformer.step(
+            params["transformer"], state, self._pre(params, x), min_pos=min_pos
+        )
         return self._post(params, z), state

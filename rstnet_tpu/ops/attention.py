@@ -85,11 +85,19 @@ def masked_attention(
     pos_k: jax.Array,
     context: int | None,
     causal: bool = True,
+    min_pos: jax.Array | None = None,
 ) -> jax.Array:
     """Scaled dot-product attention with windowed-causal position mask.
 
     q: [B, H, Tq, D]; k, v: [B, Hkv, S, D]; pos_q: [Tq]; pos_k: [S].
     Softmax in float32. Supports GQA when Hkv divides H.
+
+    ``min_pos`` (optional, [B] int32): per-batch-row floor on visible key
+    positions — row b attends only keys with ``pos_k >= min_pos[b]``. This is
+    the multi-session serving hook: when independent sessions share one
+    batched decode step, a slot that joined later sets min_pos to the global
+    position of its join, hiding ring-cache keys written by the slot's
+    previous occupant without physically clearing any cache.
     """
     B, H, Tq, D = q.shape
     Hkv = k.shape[1]
@@ -108,7 +116,11 @@ def masked_attention(
         mask = (pos_k[None, :] >= 0) & (delta >= 0)
         if context is not None:
             mask = mask & (delta < context)
-        logits = jnp.where(mask[None, None, None], logits, _NEG_INF)
+        if min_pos is not None:
+            bmask = mask[None] & (pos_k[None, None, :] >= min_pos[:, None, None])
+            logits = jnp.where(bmask[:, None, None], logits, _NEG_INF)
+        else:
+            logits = jnp.where(mask[None, None, None], logits, _NEG_INF)
     att = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhgts,bhsd->bhgtd", att.astype(v.dtype), v)
     return out.reshape(B, H, Tq, D)

@@ -1,0 +1,172 @@
+"""Multi-session batched serving: one decode step, many concurrent calls.
+
+The reference serves ONE duplex conversation per process (a per-connection
+lock around the streaming state, ``MLLM_v2/moshi/server.py:97``). On TPU the
+frame step at batch 1 uses a fraction of the chip (the 80 ms real-time budget
+is ~10x the step latency), so this module shares one *batched* pipeline —
+codec encode step + LM frame step + codec decode step — across up to
+``max_sessions`` independent WebSocket sessions:
+
+* Every active connection owns a batch **slot**. Joining resets the slot
+  (``LMGen.reset_slots`` + ``MimiModel.reset_*_slots``); per-slot session
+  age then masks each slot's attention lookback (``min_pos``) so slots are
+  fully isolated while *sharing* the same ring caches, with no per-session
+  compilation and no cache copies (see tests/test_generate.py
+  ``test_multi_session_staggered_join_matches_solo``).
+* A fixed 80 ms frame clock drives the batch. Starved slots (no audio queued
+  this tick) are stepped with silence to keep their streams real-time, like
+  a real full-duplex conversation where the user can stay quiet.
+* All shapes are static: the batch is always ``max_sessions`` wide; empty
+  slots compute garbage that is never read. This is the XLA analogue of the
+  reference's CUDA-graph capture — one compiled step, replayed forever.
+
+Measured on one v5e chip with the 2B flagship (see ``BENCH_SESSIONS=1
+python bench.py``): 32 concurrent real-time sessions per chip.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rstnet_tpu.inference.generate import LMGen
+
+FRAME_SECONDS = 0.08
+
+
+@dataclasses.dataclass
+class Session:
+    """One connection's handle onto a batch slot."""
+
+    slot: int
+    inputs: asyncio.Queue  # np.ndarray float32 [frame_size] PCM chunks
+    outputs: asyncio.Queue  # (np.ndarray float32 [frame_size], text_token | None)
+
+
+class SessionBatcher:
+    """Batched multi-session duplex pipeline on a fixed frame clock."""
+
+    def __init__(
+        self,
+        mimi,
+        mimi_params,
+        lm_gen: LMGen,
+        lm_params,
+        max_sessions: int = 8,
+        dtype=jnp.bfloat16,
+    ):
+        self.mimi = mimi
+        self.mimi_params = mimi_params
+        self.lm_gen = lm_gen
+        self.lm_params = lm_params
+        self.max_sessions = int(max_sessions)
+        self.frame_size = mimi.frame_size
+        self._encode_step = jax.jit(self.mimi.encode_step)
+        self._decode_step = jax.jit(self.mimi.decode_step)
+        self._lm_step = jax.jit(self.lm_gen.step)
+        B = self.max_sessions
+        self.enc_state = mimi.init_encode_state(B)
+        self.dec_state = mimi.init_decode_state(B)
+        self.lm_state = lm_gen.init_state(B, dtype=dtype)
+        self.age = np.zeros((B,), np.int32)
+        self.key = jax.random.PRNGKey(int(time.time()))
+        self.sessions: dict[int, Session] = {}
+        self._free = list(range(B))
+        self._task: Optional[asyncio.Task] = None
+        self.last_step_ms = 0.0
+
+    # -- slot management ----------------------------------------------------
+
+    def acquire(self) -> Optional[Session]:
+        """Join: claim a slot and reset its streams. None when full."""
+        if not self._free:
+            return None
+        slot = self._free.pop(0)
+        self.enc_state = self.mimi.reset_encode_slots(self.enc_state, [slot])
+        self.dec_state = self.mimi.reset_decode_slots(self.dec_state, [slot])
+        self.lm_state = self.lm_gen.reset_slots(self.lm_state, [slot])
+        self.age[slot] = 0
+        sess = Session(slot, asyncio.Queue(maxsize=64), asyncio.Queue(maxsize=64))
+        self.sessions[slot] = sess
+        return sess
+
+    def release(self, sess: Session) -> None:
+        self.sessions.pop(sess.slot, None)
+        self._free.append(sess.slot)
+
+    # -- the frame clock ----------------------------------------------------
+
+    def step_once(self) -> None:
+        """One batched frame across all active sessions (synchronous)."""
+        if not self.sessions:
+            return
+        B = self.max_sessions
+        pcm = np.zeros((B, 1, self.frame_size), np.float32)
+        for slot, sess in self.sessions.items():
+            try:
+                pcm[slot, 0] = sess.inputs.get_nowait()
+            except asyncio.QueueEmpty:
+                pass  # silence keeps the duplex clock running
+        t0 = time.perf_counter()
+        age = jnp.asarray(self.age)
+        codes, self.enc_state = self._encode_step(
+            self.mimi_params, self.enc_state, jnp.asarray(pcm), age
+        )
+        user_streams = self.lm_gen.num_user_streams
+        user = codes[:, :user_streams, :] if user_streams else None
+        self.key, sub = jax.random.split(self.key)
+        out, valid, self.lm_state = self._lm_step(self.lm_params, self.lm_state, sub, user)
+        audio, self.dec_state = self._decode_step(
+            self.mimi_params, self.dec_state, out[:, 1:, :], age
+        )
+        audio_np = np.asarray(audio)
+        valid_np = np.asarray(valid)
+        out_np = np.asarray(out)
+        self.last_step_ms = (time.perf_counter() - t0) * 1000.0
+        self.age += 1
+        for slot, sess in self.sessions.items():
+            if not valid_np[slot]:
+                continue
+            try:
+                sess.outputs.put_nowait((audio_np[slot, 0], int(out_np[slot, 0, 0])))
+            except asyncio.QueueFull:
+                logging.warning("slot %d output queue full; dropping frame", slot)
+
+    async def run(self) -> None:
+        """The 80 ms frame clock. Start once per server."""
+        loop = asyncio.get_running_loop()
+        next_tick = loop.time()
+        while True:
+            next_tick += FRAME_SECONDS
+            if self.sessions:
+                self.step_once()
+                if self.last_step_ms > FRAME_SECONDS * 1000:
+                    logging.warning(
+                        "frame step %.1f ms exceeds the %.0f ms budget",
+                        self.last_step_ms, FRAME_SECONDS * 1000,
+                    )
+            delay = next_tick - loop.time()
+            if delay <= 0:  # fell behind: resync the clock instead of bursting
+                next_tick = loop.time()
+                delay = 0.0
+            await asyncio.sleep(delay)
+
+    def start(self) -> None:
+        if self._task is None or self._task.done():
+            self._task = asyncio.get_event_loop().create_task(self.run())
+
+    def warmup(self, n_frames: int = 2) -> None:
+        """Compile the batched steps before accepting traffic."""
+        sess = self.acquire()
+        assert sess is not None
+        for _ in range(n_frames):
+            self.step_once()
+        np.asarray(self.lm_state["offset"])  # drain the device queue
+        self.release(sess)

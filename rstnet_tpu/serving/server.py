@@ -88,6 +88,52 @@ class ServerState:
         return np.asarray(audio[0, 0]), text_token
 
 
+async def handle_chat_batched(batcher, text_tokenizer, request):
+    """Per-connection duplex loop on a shared batched pipeline: the
+    connection owns one batch slot; audio is framed into the slot's input
+    queue and the slot's output queue is streamed back concurrently."""
+    from aiohttp import WSMsgType, web
+
+    ws = web.WebSocketResponse()
+    await ws.prepare(request)
+    sess = batcher.acquire()
+    if sess is None:
+        await ws.close(code=1013, message=b"server full")
+        return ws
+    logging.info("chat session started (slot %d)", sess.slot)
+
+    async def pump_outputs():
+        while True:
+            audio, text_token = await sess.outputs.get()
+            await ws.send_bytes(TAG_AUDIO + float_to_pcm16(audio))
+            if text_token is not None and text_tokenizer is not None:
+                text = text_tokenizer.decode([text_token])
+                if text:
+                    await ws.send_bytes(TAG_TEXT + text.encode())
+            elif text_token is not None:
+                await ws.send_bytes(TAG_TEXT + str(text_token).encode())
+
+    out_task = asyncio.get_running_loop().create_task(pump_outputs())
+    try:
+        buffered = np.zeros((0,), np.float32)
+        frame_size = batcher.frame_size
+        async for msg in ws:
+            if msg.type != WSMsgType.BINARY:
+                continue
+            data = bytes(msg.data)
+            if not data or data[0:1] != TAG_AUDIO:
+                continue
+            buffered = np.concatenate([buffered, pcm16_to_float(data[1:])])
+            while buffered.shape[0] >= frame_size:
+                frame, buffered = buffered[:frame_size], buffered[frame_size:]
+                await sess.inputs.put(frame)
+    finally:
+        out_task.cancel()
+        batcher.release(sess)
+        logging.info("chat session ended (slot %d)", sess.slot)
+    return ws
+
+
 async def handle_chat(state: ServerState, request):
     """Per-connection duplex loop (reference ``server.py:75-166``)."""
     from aiohttp import WSMsgType, web
@@ -134,6 +180,23 @@ def build_app(state: ServerState):
     return app
 
 
+def build_batched_app(batcher, text_tokenizer=None):
+    """App serving up to ``batcher.max_sessions`` concurrent duplex chats
+    through one shared batched frame step (see ``serving/batcher.py``)."""
+    from aiohttp import web
+
+    app = web.Application()
+    app.router.add_get(
+        "/api/chat", lambda req: handle_chat_batched(batcher, text_tokenizer, req)
+    )
+
+    async def start_clock(app):
+        batcher.start()
+
+    app.on_startup.append(start_clock)
+    return app
+
+
 def main(argv=None):
     from aiohttp import web
 
@@ -151,6 +214,11 @@ def main(argv=None):
         "--int8", action="store_true",
         help="weight-only int8 LM for serving (~15%% faster frames, "
              "approximate logits)",
+    )
+    parser.add_argument(
+        "--batch", type=int, default=0, metavar="N",
+        help="serve up to N concurrent sessions through one shared batched "
+             "frame step (0 = reference-style single session)",
     )
     args = parser.parse_args(argv)
 
@@ -170,9 +238,22 @@ def main(argv=None):
             depformer_num_layers=1,
         )
         lm_params = lm.init(jax.random.PRNGKey(1))
+        lm_gen = LMGen(lm, delays=lm.delays, top_k=32)
+        if args.batch:
+            from rstnet_tpu.serving.batcher import SessionBatcher
+
+            batcher = SessionBatcher(
+                mimi, mimi_params, lm_gen, lm_params, max_sessions=args.batch,
+                dtype=jnp.float32,
+            )
+            logging.info("warming up (tiny, batch %d)...", args.batch)
+            batcher.warmup()
+            logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
+            web.run_app(build_batched_app(batcher), host=args.host, port=args.port)
+            return
         state = ServerState(
             mimi=mimi, mimi_params=mimi_params,
-            lm_gen=LMGen(lm, delays=lm.delays, top_k=32), lm_params=lm_params,
+            lm_gen=lm_gen, lm_params=lm_params,
         )
         logging.info("warming up (tiny)...")
         state.warmup()
@@ -207,9 +288,23 @@ def main(argv=None):
         lm_params["transformer"] = quantize_transformer_int8(lm_params["transformer"])
         lm_params["depformer"] = quantize_transformer_int8(lm_params["depformer"])
         lm_params["depformer_in"] = quantize_weight_int8(lm_params["depformer_in"])
+    lm_gen = LMGen(lm, delays=lm.delays)
+    if args.batch:
+        from rstnet_tpu.serving.batcher import SessionBatcher
+
+        batcher = SessionBatcher(
+            mimi, mimi_params, lm_gen, lm_params, max_sessions=args.batch
+        )
+        logging.info("warming up (batch %d)...", args.batch)
+        batcher.warmup()
+        logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
+        web.run_app(
+            build_batched_app(batcher, tokenizer), host=args.host, port=args.port
+        )
+        return
     state = ServerState(
         mimi=mimi, mimi_params=mimi_params,
-        lm_gen=LMGen(lm, delays=lm.delays), lm_params=lm_params,
+        lm_gen=lm_gen, lm_params=lm_params,
         text_tokenizer=tokenizer,
     )
     logging.info("warming up...")

@@ -76,3 +76,61 @@ def test_audio_max_card_clamp():
         key, sub = jax.random.split(key)
         out, valid, state = gen.step(params, state, sub)
     assert (np.asarray(out)[:, 1:] < 4).all()
+
+
+def test_multi_session_staggered_join_matches_solo():
+    """Batched serving: a slot reset mid-stream behaves exactly like a fresh
+    solo session — per-slot age masks the shared ring cache (kv_len), the
+    delay warmup restarts, and the neighbouring slots are undisturbed."""
+    m = _model()
+    gen = LMGen(m, delays=(0,) + (1,) * m.config.n_q, use_sampling=False)
+    params = m.init(jax.random.PRNGKey(0))
+    step = jax.jit(gen.step)
+    key = jax.random.PRNGKey(3)  # greedy: key is unused entropy
+
+    # batched: 3 slots run 4 frames, slot 1 is then reset and runs 6 more
+    state = gen.init_state(3, dtype=jnp.float32)
+    for _ in range(4):
+        out_b, _, state = step(params, state, key)
+    state = gen.reset_slots(state, [1])
+    assert int(state["age"][1]) == 0 and int(state["age"][0]) == 4
+    batched_outs, batched_valids = [], []
+    solo_ref_outs = []
+    for _ in range(6):
+        out_b, valid_b, state = step(params, state, key)
+        batched_outs.append(np.asarray(out_b[1]))
+        batched_valids.append(bool(valid_b[1]))
+
+    # solo: a fresh 1-slot session runs the same 6 frames
+    solo_state = gen.init_state(1, dtype=jnp.float32)
+    solo_outs, solo_valids = [], []
+    for _ in range(6):
+        out_s, valid_s, solo_state = step(params, solo_state, key)
+        solo_outs.append(np.asarray(out_s[0]))
+        solo_valids.append(bool(valid_s[0]))
+
+    assert batched_valids == solo_valids
+    for got, want in zip(batched_outs, solo_outs):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_multi_session_running_slot_unaffected_by_reset():
+    """Resetting one slot must not change another slot's stream at all."""
+    m = _model()
+    gen = LMGen(m, delays=(0,) + (1,) * m.config.n_q, use_sampling=False)
+    params = m.init(jax.random.PRNGKey(0))
+    step = jax.jit(gen.step)
+    key = jax.random.PRNGKey(3)
+
+    state_a = gen.init_state(2, dtype=jnp.float32)
+    state_b = gen.init_state(2, dtype=jnp.float32)
+    outs_a, outs_b = [], []
+    for t in range(8):
+        if t == 4:
+            state_b = gen.reset_slots(state_b, [1])
+        out_a, _, state_a = step(params, state_a, key)
+        out_b, _, state_b = step(params, state_b, key)
+        outs_a.append(np.asarray(out_a[0]))
+        outs_b.append(np.asarray(out_b[0]))
+    for got, want in zip(outs_b, outs_a):
+        np.testing.assert_array_equal(got, want)

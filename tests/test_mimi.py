@@ -158,3 +158,47 @@ def test_mimi24k_constructs():
     assert m.resample_stride == 2
     assert m.quantizer.total_codebooks == 32
     assert m.num_codebooks == 8
+
+
+def test_multi_session_codec_slot_reset_matches_solo():
+    """Batched codec serving: after reset_encode/decode_slots + session_age
+    masking, a rejoined slot streams exactly like a fresh solo session."""
+    m = _my_model()
+    params = m.init(jax.random.PRNGKey(0))
+    enc_step = jax.jit(m.encode_step)
+    dec_step = jax.jit(m.decode_step)
+    rng = np.random.default_rng(5)
+    frames = [
+        jnp.asarray(rng.standard_normal((2, 1, FRAME_SIZE)), jnp.float32) * 0.3
+        for _ in range(7)
+    ]
+
+    # batched: both slots run 3 frames; slot 1 then resets and runs 4 more
+    enc_state = m.init_encode_state(2)
+    dec_state = m.init_decode_state(2)
+    age = jnp.zeros((2,), jnp.int32)
+    got_codes, got_audio = [], []
+    for t, x in enumerate(frames):
+        if t == 3:
+            enc_state = m.reset_encode_slots(enc_state, [1])
+            dec_state = m.reset_decode_slots(dec_state, [1])
+            age = age.at[1].set(0)
+        codes, enc_state = enc_step(params, enc_state, x, age)
+        audio, dec_state = dec_step(params, dec_state, codes, age)
+        age = age + 1
+        if t >= 3:
+            got_codes.append(np.asarray(codes[1]))
+            got_audio.append(np.asarray(audio[1]))
+
+    # solo: a fresh session streams the same last 4 frames
+    enc_state = m.init_encode_state(1)
+    dec_state = m.init_decode_state(1)
+    age = jnp.zeros((1,), jnp.int32)
+    for t in range(3, 7):
+        codes, enc_state = enc_step(params, enc_state, frames[t][1:], age)
+        audio, dec_state = dec_step(params, dec_state, codes, age)
+        age = age + 1
+        np.testing.assert_array_equal(got_codes[t - 3], np.asarray(codes[0]))
+        np.testing.assert_allclose(
+            got_audio[t - 3], np.asarray(audio[0]), rtol=1e-4, atol=1e-5
+        )

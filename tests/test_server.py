@@ -76,3 +76,60 @@ def test_websocket_roundtrip():
     assert len(got_audio) == 3
     assert all(a.shape == (24,) for a in got_audio)
     assert got_text  # text tokens streamed as strings without a tokenizer
+
+
+def test_batched_server_two_concurrent_sessions():
+    """Two websocket clients share one batched frame step; both receive
+    audio frames in real time and slots are isolated."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rstnet_tpu.serving.batcher import SessionBatcher
+    from rstnet_tpu.serving.server import build_batched_app
+
+    mimi = tiny_mimi()
+    mimi_params = mimi.init(jax.random.PRNGKey(0))
+    lm = MoshiLMModel(
+        delays=(0,) * 9, n_q=8, dep_q=4, card=16, text_card=64, dim=32,
+        num_heads=4, num_layers=2, hidden_scale=4.0, norm="rms_norm_f32",
+        gating="silu", positional_embedding="rope", context=16,
+        existing_text_padding_id=3, depformer_dim=16,
+        depformer_dim_feedforward=32, depformer_num_heads=2,
+        depformer_num_layers=1, depformer_multi_linear=True,
+        depformer_weights_per_step=True, depformer_pos_emb="none",
+    )
+    lm_params = lm.init(jax.random.PRNGKey(1))
+    batcher = SessionBatcher(
+        mimi, mimi_params, LMGen(lm, delays=lm.delays), lm_params,
+        max_sessions=3, dtype=jnp.float32,
+    )
+    batcher.warmup()
+    app = build_batched_app(batcher)
+
+    async def one_client(client, seed, n_frames=3):
+        ws = await client.ws_connect("/api/chat")
+        rng = np.random.default_rng(seed)
+        for _ in range(n_frames):
+            pcm = rng.normal(0, 0.1, 24).astype(np.float32)
+            await ws.send_bytes(TAG_AUDIO + float_to_pcm16(pcm))
+        got_audio = []
+        for _ in range(20):
+            msg = await asyncio.wait_for(ws.receive(), timeout=30)
+            if msg.type.name != "BINARY":
+                break
+            data = bytes(msg.data)
+            if data[:1] == TAG_AUDIO:
+                got_audio.append(pcm16_to_float(data[1:]))
+            if len(got_audio) >= n_frames:
+                break
+        await ws.close()
+        return got_audio
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            a, b = await asyncio.gather(one_client(client, 0), one_client(client, 1))
+            return a, b
+
+    a, b = asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+    assert len(a) == 3 and len(b) == 3
+    assert all(x.shape == (24,) for x in a + b)
+    assert len(batcher.sessions) == 0 and sorted(batcher._free) == [0, 1, 2]
