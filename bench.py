@@ -158,7 +158,7 @@ def bench_e2e(n_frames: int = 30) -> dict:
     return {"e2e_frame_ms": round(ms, 2), "e2e_rt_headroom": round(80.0 / ms, 2)}
 
 
-def bench_sessions(n_frames: int = 20) -> dict:
+def bench_sessions(n_frames: int = 20, sizes=(32,)) -> dict:
     """Concurrent real-time duplex sessions per chip: the full batched
     pipeline (Mimi encode step + 2B LM frame step + Mimi decode step over
     one shared batch, per-slot session-age masking) swept over batch sizes;
@@ -180,7 +180,7 @@ def bench_sessions(n_frames: int = 20) -> dict:
     lm = jax.jit(gen.step, donate_argnums=(1,))
 
     best = {"sessions_per_chip": 0}
-    for B in (8, 16, 32):
+    for B in sizes:
         try:
             es = mimi.init_encode_state(B)
             ds = mimi.init_decode_state(B)
@@ -311,9 +311,17 @@ def main():
             codec_detail.update(bench_train())
         except Exception as e:  # noqa: BLE001
             codec_detail["train_bench_error"] = str(e)[:120]
-    if os.environ.get("BENCH_SESSIONS", "0") == "1":
+    # sessions/chip: on TPU by default (single B=32 point, known to fit the
+    # 80 ms budget with ~40% headroom); "sweep" probes 8/16/32; "0" disables
+    sessions_mode = os.environ.get("BENCH_SESSIONS", "auto")
+    run_sessions = sessions_mode in ("1", "sweep") or (
+        sessions_mode == "auto" and size != "tiny"
+        and jax.default_backend() == "tpu"
+    )
+    if run_sessions:
         try:
-            codec_detail.update(bench_sessions())
+            sizes = (8, 16, 32) if sessions_mode == "sweep" else (32,)
+            codec_detail.update(bench_sessions(sizes=sizes))
         except Exception as e:  # noqa: BLE001 - the headline must still print
             codec_detail["sessions_bench_error"] = str(e)[:120]
     if os.environ.get("BENCH_E2E", "0") == "1":

@@ -62,6 +62,20 @@ class SessionBatcher:
         max_sessions: int = 8,
         dtype=jnp.bfloat16,
     ):
+        # Slot isolation relies on *relative* positions (rope/none): a slot
+        # joining at global offset t must behave as a fresh stream at 0.
+        # Absolute sin embeddings would leak the global clock into late
+        # joiners, so reject them up front.
+        for tr in (
+            getattr(lm_gen.model, "transformer", None),
+            mimi.encoder_transformer.transformer,
+            mimi.decoder_transformer.transformer,
+        ):
+            if tr is not None:
+                assert tr.positional_embedding in ("rope", "none"), (
+                    "multi-session batching needs relative positions "
+                    f"(rope/none), got {tr.positional_embedding!r}"
+                )
         self.mimi = mimi
         self.mimi_params = mimi_params
         self.lm_gen = lm_gen
