@@ -106,11 +106,37 @@ def bench_train(n_steps: int = 10) -> dict:
     dt = (time.perf_counter() - t0) / n_steps
     from rstnet_tpu.core import param_count
 
-    return {
+    out = {
         "train_frames_per_sec": round(B * S / dt, 1),
         "train_step_ms": round(dt * 1000, 1),
         "train_params_m": round(param_count(params) / 1e6, 1),
     }
+    # the train step donates its state, so the originally-initialized params
+    # buffers are dead; take the live ones out of the final state
+    params = state["params"]
+    del state, metrics, step
+
+    # LoRA PEFT throughput (BASELINE.md protocol #4 asks for both modes)
+    from rstnet_tpu.models.lora import attach_lora, init_lora, lora_trainable_mask
+
+    lcfg = dataclasses.replace(cfg, lora_r=16, lora_alpha=32)
+    lmodel = SpeechTextLM(lcfg)
+    lparams = attach_lora(
+        params, {"backbone": init_lora(lcfg, jax.random.PRNGKey(2), jnp.bfloat16)}
+    )
+    mask = lora_trainable_mask(lparams)
+    ltx = make_optimizer(warmup_lr(1e-4, 100), trainable_mask=mask)
+    lstep = make_train_step(make_loss_fn(lmodel), ltx, trainable_mask=mask)
+    lstate = init_train_state(lparams, ltx)
+    lstate, metrics = lstep(lstate, batch)
+    np.asarray(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        lstate, metrics = lstep(lstate, batch)
+    np.asarray(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    out["train_lora_frames_per_sec"] = round(B * S / dt, 1)
+    return out
 
 
 def bench_e2e(n_frames: int = 30) -> dict:

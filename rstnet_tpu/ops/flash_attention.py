@@ -13,7 +13,6 @@ everything else falls back to the masked-einsum path.
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -24,8 +23,13 @@ def splash_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@lru_cache(maxsize=32)
 def _make_kernel(T: int, n_heads: int, context: Optional[int], interpret: bool = False):
+    # NOT cached across calls: this runs while the caller is being traced,
+    # and the constructed kernel can capture values of that trace — an
+    # lru_cache here leaks tracers into any later jit of the same shape
+    # (seen as UnexpectedTracerError when a second train step is built).
+    # The numpy mask-info preprocessing is O((T/block)^2) and happens once
+    # per trace, so rebuilding is cheap.
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
         splash_attention_mask as sm,

@@ -82,9 +82,12 @@ class SessionBatcher:
         self.lm_params = lm_params
         self.max_sessions = int(max_sessions)
         self.frame_size = mimi.frame_size
-        self._encode_step = jax.jit(self.mimi.encode_step)
-        self._decode_step = jax.jit(self.mimi.decode_step)
-        self._lm_step = jax.jit(self.lm_gen.step)
+        # donate the streaming states: the ring-cache updates then write in
+        # place instead of copying the whole KV cache every frame (at 32
+        # sessions the LM cache alone is ~3 GB)
+        self._encode_step = jax.jit(self.mimi.encode_step, donate_argnums=(1,))
+        self._decode_step = jax.jit(self.mimi.decode_step, donate_argnums=(1,))
+        self._lm_step = jax.jit(self.lm_gen.step, donate_argnums=(1,))
         B = self.max_sessions
         self.enc_state = mimi.init_encode_state(B)
         self.dec_state = mimi.init_decode_state(B)

@@ -65,6 +65,65 @@ async def stream_file(
     return audio, "".join(text_parts)
 
 
+async def load_test(
+    url: str, sessions: int, seconds: float = 4.0, real_time: bool = True
+) -> list[dict]:
+    """Drive N concurrent duplex sessions against a ``--batch`` server.
+
+    Each session streams ``seconds`` of synthetic audio at the real-time
+    frame cadence (80 ms) and measures what it gets back: frames received,
+    end-to-end latency of the first response frame, and receive rate.
+    Returns one stats dict per session.
+    """
+    import time as _time
+
+    import aiohttp
+
+    n_frames = int(seconds / 0.08)
+
+    async def one(i: int) -> dict:
+        t = np.arange(n_frames * FRAME_SIZE) / SAMPLE_RATE
+        wav = (0.1 * np.sin(2 * np.pi * (220 + 20 * i) * t)).astype(np.float32)
+        stats = {"session": i, "frames_sent": n_frames, "frames_recv": 0,
+                 "first_frame_ms": None}
+        async with aiohttp.ClientSession() as session:
+            async with session.ws_connect(url) as ws:
+                t0 = _time.perf_counter()
+                done = asyncio.Event()
+
+                async def sender():
+                    for off in range(0, len(wav), FRAME_SIZE):
+                        await ws.send_bytes(
+                            TAG_AUDIO + float_to_pcm16(wav[off : off + FRAME_SIZE])
+                        )
+                        if real_time:
+                            await asyncio.sleep(0.08)
+                    # allow the tail of the pipeline to drain, then close
+                    try:
+                        await asyncio.wait_for(done.wait(), timeout=2.0)
+                    except asyncio.TimeoutError:
+                        pass
+                    await ws.close()
+
+                async def receiver():
+                    async for msg in ws:
+                        if not isinstance(msg.data, bytes):
+                            break
+                        if bytes(msg.data[:1]) == TAG_AUDIO:
+                            if stats["first_frame_ms"] is None:
+                                stats["first_frame_ms"] = round(
+                                    (_time.perf_counter() - t0) * 1000, 1
+                                )
+                            stats["frames_recv"] += 1
+                            if stats["frames_recv"] >= n_frames:
+                                done.set()
+
+                await asyncio.gather(sender(), receiver())
+        return stats
+
+    return list(await asyncio.gather(*(one(i) for i in range(sessions))))
+
+
 async def stream_microphone(url: str) -> None:  # pragma: no cover - needs audio HW
     """Live mic/speaker loop (requires sounddevice)."""
     import aiohttp
@@ -115,8 +174,17 @@ def main(argv=None):
     parser.add_argument("--url", default="ws://localhost:8998/api/chat")
     parser.add_argument("--in-wav", default="", help="file mode input")
     parser.add_argument("--out-wav", default="out.wav")
+    parser.add_argument(
+        "--sessions", type=int, default=0, metavar="N",
+        help="load-test mode: N concurrent synthetic sessions",
+    )
+    parser.add_argument("--seconds", type=float, default=4.0)
     args = parser.parse_args(argv)
-    if args.in_wav:
+    if args.sessions:
+        stats = asyncio.run(load_test(args.url, args.sessions, args.seconds))
+        for s in stats:
+            print(s)
+    elif args.in_wav:
         audio, text = asyncio.run(stream_file(args.url, args.in_wav, args.out_wav))
         print(f"received {len(audio)} samples; text: {text}")
     else:
