@@ -184,6 +184,63 @@ def bench_e2e(n_frames: int = 30) -> dict:
     return {"e2e_frame_ms": round(ms, 2), "e2e_rt_headroom": round(80.0 / ms, 2)}
 
 
+def bench_codec_train(n_steps: int = 8) -> dict:
+    """Codec GAN training throughput on one chip: full-size Mimi generator
+    + the default multi-frequency discriminator, G and D steps per batch
+    (the reference's AudioCodec/MimiCodec/train.py loop). Reports steps/sec
+    and audio seconds trained per second per chip."""
+    import numpy as np
+
+    from rstnet_tpu.models.discriminators import MultiFrequencyDiscriminator
+    from rstnet_tpu.models.mimi_train import TrainableMimiCodec
+    from rstnet_tpu.training import codec_trainer as ct
+    from rstnet_tpu.training.schedulers import exponential_decay_lr
+
+    import optax
+
+    B, seg = 4, 24000  # 4 x 1 s segments at 24 kHz per step
+    model, discs, g_loss_cfg = ct.build_from_config(
+        {"generator": {"config": {}}, "d_list": ["mfd"]}
+    )
+    assert isinstance(model, TrainableMimiCodec)
+    assert isinstance(discs["mfd"], MultiFrequencyDiscriminator)
+    g_tx = optax.adam(1e-4)
+    d_tx = optax.adam(1e-4)
+    g_step, d_step, _ = ct.make_steps(model, discs, g_loss_cfg, g_tx, d_tx)
+    key = jax.random.PRNGKey(0)
+    g_params, buffers = model.init(key)
+    d_params = {
+        k: d.init(jax.random.PRNGKey(i + 1)) for i, (k, d) in enumerate(discs.items())
+    }
+    g_state = {
+        "params": g_params, "buffers": buffers,
+        "opt_state": g_tx.init(g_params), "step": jnp.zeros((), jnp.int32),
+    }
+    d_state = {"params": d_params, "opt_state": d_tx.init(d_params)}
+    audio = jax.random.normal(jax.random.PRNGKey(2), (B, 1, seg)) * 0.1
+    features = None
+
+    def one(g_state, d_state, key):
+        key, sub = jax.random.split(key)
+        g_state, rec, g_metrics = g_step(
+            g_state, d_state["params"], audio, features, sub, True
+        )
+        d_state, d_metrics = d_step(d_state, audio, rec)
+        return g_state, d_state, key, g_metrics
+
+    g_state, d_state, key, m = one(g_state, d_state, key)
+    np.asarray(m["g_loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        g_state, d_state, key, m = one(g_state, d_state, key)
+    np.asarray(m["g_loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    return {
+        "codec_train_steps_per_sec": round(1.0 / dt, 2),
+        "codec_train_audio_sec_per_sec": round(B * seg / 24000 / dt, 1),
+    }
+
+
 def bench_sessions(n_frames: int = 20, sizes=(32,)) -> dict:
     """Concurrent real-time duplex sessions per chip: the full batched
     pipeline (Mimi encode step + 2B LM frame step + Mimi decode step over
@@ -332,6 +389,11 @@ def main():
             codec_detail = bench_codec()
         except Exception as e:  # noqa: BLE001 - the headline must still print
             codec_detail = {"codec_bench_error": str(e)[:120]}
+    if os.environ.get("BENCH_CODEC_TRAIN", "0") == "1":
+        try:
+            codec_detail.update(bench_codec_train())
+        except Exception as e:  # noqa: BLE001 - the headline must still print
+            codec_detail["codec_train_bench_error"] = str(e)[:120]
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         try:
             codec_detail.update(bench_train())

@@ -39,7 +39,9 @@ def _recon_error(num_bands: int, taps: int, cutoff: float, beta: float) -> float
     """White-noise reconstruction error of the full chain (numpy)."""
     analysis, synthesis = _design(num_bands, taps, cutoff, beta)
     rng = np.random.default_rng(0)
-    x = rng.normal(0.0, 1.0, 2048)
+    # probe length must be a multiple of the band count (decimate+upsample
+    # round-trip keeps the length only then — e.g. 6 bands needs 2046)
+    x = rng.normal(0.0, 1.0, 2048 - (2048 % num_bands))
     pad = taps // 2
     xp = np.pad(x, (pad, pad))
     y = np.zeros_like(x)
