@@ -3,10 +3,18 @@
 Capability parity with ``AudioCodec/MimiCodec/modules/commons/torch_stft.py``
 (TorchSTFT:368 — linear/log/double domains, optional mel scale, normalized
 frames) and the hifigan-style ``utils/hifigan_mel.mel_spectrogram`` used by
-the mel loss. Framing + window + rfft; everything fuses under jit.
+the mel loss.
+
+TPU-first: the rFFT runs as a real/imag **DFT matmul** on the MXU — TPUs
+have no FFT unit, and XLA's decomposed FFT lowering is slow to compile and
+slow to run at codec-loss sizes (n_fft <= 2048, dozens of frames). Two
+[frames, n] x [n, n/2+1] matmuls are a few MFLOPs, fuse with the window,
+and differentiate like any matmul. CPU keeps ``jnp.fft.rfft``.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +38,26 @@ def frame_signal(x: jax.Array, fft_size: int, hop_size: int, center: bool = True
     return x[..., idx]
 
 
+@lru_cache(maxsize=16)
+def _rdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT matrices: cos/sin [n, n//2+1] such that
+    rfft(x) = x @ cos - 1j * (x @ sin)."""
+    t = np.arange(n)[:, None]
+    f = np.arange(n // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * t * f / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _rfft(frames: jax.Array, n: int) -> jax.Array:
+    """rFFT of the last axis. MXU matmul-DFT on TPU, jnp.fft elsewhere."""
+    if jax.default_backend() == "tpu" and n <= 4096:
+        cos, sin = _rdft_mats(n)
+        re = frames @ jnp.asarray(cos)
+        im = -(frames @ jnp.asarray(sin))
+        return jax.lax.complex(re, im)
+    return jnp.fft.rfft(frames, n=n, axis=-1)
+
+
 def stft(
     x: jax.Array,
     fft_size: int,
@@ -44,7 +72,7 @@ def stft(
         lpad = (fft_size - win_size) // 2
         window = jnp.pad(window, (lpad, fft_size - win_size - lpad))
     frames = frame_signal(x.astype(jnp.float32), fft_size, hop_size, center)
-    spec = jnp.fft.rfft(frames * window, n=fft_size, axis=-1)
+    spec = _rfft(frames * window, fft_size)
     if normalized:
         spec = spec / jnp.sqrt(jnp.sum(jnp.square(window)))
     return jnp.swapaxes(spec, -1, -2)  # [..., freq, frames]
