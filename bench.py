@@ -184,6 +184,74 @@ def bench_e2e(n_frames: int = 30) -> dict:
     return {"e2e_frame_ms": round(ms, 2), "e2e_rt_headroom": round(80.0 / ms, 2)}
 
 
+def bench_8b(n_frames: int = 20) -> dict:
+    """Serve the reference's actual flagship scale — a Llama-3.1-8B backbone
+    + 1024x6 codecformer — on ONE 16 GB chip via weight-only int8. Params
+    are built directly on device in quantized form from eval_shape (random
+    values; latency depends only on shapes/dtypes), because the bf16 tree
+    alone (16 GB) would not fit."""
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from rstnet_tpu.inference.generate import LMGen
+    from rstnet_tpu.models.config import Config
+    from rstnet_tpu.models.lm import SpeechTextLM, quantize_for_serving
+
+    base = _flagship(tiny=True).config  # carries the codecformer defaults
+    import dataclasses
+
+    cfg = Config.from_name(
+        "Llama-3.1-8B",
+        context=3000, audio_card=2048, n_q=8, dep_q=8,
+        codecformer_dim=1024, codecformer_heads=16, codecformer_layers=6,
+        codecformer_dim_feedforward=1024,
+        codecformer_norm=base.codecformer_norm,
+    )
+    model = SpeechTextLM(cfg)
+
+    shapes = jax.eval_shape(
+        lambda k: quantize_for_serving(model, model.init(k, jnp.bfloat16)),
+        jax.random.PRNGKey(0),
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    key = jax.random.PRNGKey(1)
+
+    def rand_leaf(key, s):
+        if s.dtype == jnp.int8:
+            return jax.random.randint(key, s.shape, -127, 128, jnp.int32).astype(jnp.int8)
+        if jnp.issubdtype(s.dtype, jnp.integer):
+            return jnp.zeros(s.shape, s.dtype)
+        return (jax.random.normal(key, s.shape, jnp.float32) * 0.02).astype(s.dtype)
+
+    keys = jax.random.split(key, len(leaves))
+    params = treedef.unflatten(
+        [rand_leaf(k, s) for k, s in zip(keys, leaves)]
+    )
+    params = jax.block_until_ready(params)
+
+    gen = LMGen(model, delays=(0,) + (1,) * cfg.n_q)
+    step = jax.jit(gen.step, donate_argnums=(1,))
+    state = gen.init_state(1)
+    k = jax.random.PRNGKey(2)
+    for _ in range(3):
+        k, sub = jax.random.split(k)
+        out, valid, state = step(params, state, sub)
+    np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        k, sub = jax.random.split(k)
+        out, valid, state = step(params, state, sub)
+    np.asarray(out)
+    ms = (time.perf_counter() - t0) / n_frames * 1000
+    from rstnet_tpu.core import param_count
+
+    return {
+        "int8_8b_frame_ms": round(ms, 2),
+        "int8_8b_rt_headroom": round(80.0 / ms, 2),
+        "int8_8b_params_b": round(param_count(params) / 1e9, 2),
+    }
+
+
 def bench_codec_train(n_steps: int = 8) -> dict:
     """Codec GAN training throughput on one chip: full-size Mimi generator
     + the default multi-frequency discriminator, G and D steps per batch
@@ -389,6 +457,11 @@ def main():
             codec_detail = bench_codec()
         except Exception as e:  # noqa: BLE001 - the headline must still print
             codec_detail = {"codec_bench_error": str(e)[:120]}
+    if os.environ.get("BENCH_8B", "0") == "1":
+        try:
+            codec_detail.update(bench_8b())
+        except Exception as e:  # noqa: BLE001 - the headline must still print
+            codec_detail["bench_8b_error"] = str(e)[:120]
     if os.environ.get("BENCH_CODEC_TRAIN", "0") == "1":
         try:
             codec_detail.update(bench_codec_train())

@@ -8,10 +8,13 @@ bytes out + text tokens. One connection at a time (per-connection lock,
 streaming state reset), matching the reference.
 
 Framing: 16-bit PCM little-endian frames of exactly 1920 samples (80 ms at
-24 kHz) by default — the reference's Opus framing is supported when an opus
-codec module (``sphn``) is importable, otherwise PCM16 keeps the wire format
-dependency-free. Message protocol (mirrors the reference's 1-byte tags):
-``b"\\x01" + audio`` for audio, ``b"\\x02" + utf8`` for text.
+24 kHz). The reference frames audio as Opus over the same socket
+(``sphn.OpusStreamWriter``); here PCM16 keeps the wire format
+dependency-free — at 24 kHz mono it is 48 kB/s per direction, fine for the
+LAN/loopback serving this targets, and an Opus transport can be layered at
+the edge without touching the frame loop. Message protocol (mirrors the
+reference's 1-byte tags): ``b"\\x01" + audio`` for audio, ``b"\\x02" + utf8``
+for text.
 
 TPU notes: the whole per-frame compute (encode step + LM step + decode step)
 is three jitted calls with fixed shapes; one small host<->device transfer
