@@ -229,27 +229,40 @@ def bench_8b(n_frames: int = 20) -> dict:
     )
     params = jax.block_until_ready(params)
 
-    gen = LMGen(model, delays=(0,) + (1,) * cfg.n_q)
+    # int8 ring-KV to match the int8 weights: half the per-session cache
+    # (196 -> 98 MB at context 3000) buys double the session capacity
+    gen = LMGen(model, delays=(0,) + (1,) * cfg.n_q, kv_int8=True)
     step = jax.jit(gen.step, donate_argnums=(1,))
-    state = gen.init_state(1)
-    k = jax.random.PRNGKey(2)
-    for _ in range(3):
-        k, sub = jax.random.split(k)
-        out, valid, state = step(params, state, sub)
-    np.asarray(out)
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        k, sub = jax.random.split(k)
-        out, valid, state = step(params, state, sub)
-    np.asarray(out)
-    ms = (time.perf_counter() - t0) / n_frames * 1000
     from rstnet_tpu.core import param_count
 
-    return {
-        "int8_8b_frame_ms": round(ms, 2),
-        "int8_8b_rt_headroom": round(80.0 / ms, 2),
-        "int8_8b_params_b": round(param_count(params) / 1e9, 2),
-    }
+    out_d = {"int8_8b_params_b": round(param_count(params) / 1e9, 2)}
+    for B in (1, 8, 16):
+        try:
+            state = gen.init_state(B)
+            k = jax.random.PRNGKey(2)
+            for _ in range(3):
+                k, sub = jax.random.split(k)
+                out, valid, state = step(params, state, sub)
+            np.asarray(out)
+            t0 = time.perf_counter()
+            for _ in range(n_frames):
+                k, sub = jax.random.split(k)
+                out, valid, state = step(params, state, sub)
+            np.asarray(out)
+            ms = (time.perf_counter() - t0) / n_frames * 1000
+            del state, out
+            if B == 1:
+                out_d["int8_8b_frame_ms"] = round(ms, 2)
+                out_d["int8_8b_rt_headroom"] = round(80.0 / ms, 2)
+            elif ms < 80.0:
+                out_d["int8_8b_sessions_per_chip"] = B
+                out_d["int8_8b_sessions_frame_ms"] = round(ms, 2)
+            else:
+                break
+        except Exception as e:  # noqa: BLE001 - keep the points measured so far
+            out_d["int8_8b_batch_error"] = f"B={B}: " + str(e)[:100]
+            break
+    return out_d
 
 
 def bench_codec_train(n_steps: int = 8) -> dict:

@@ -38,6 +38,9 @@ class LMGen:
     # ban special ids >= audio_card when sampling audio (reference
     # sample_token_audio semantics); None disables the clamp
     audio_max_card: Optional[int] = None
+    # store the backbone ring K/V as int8 with per-step scales: half the
+    # cache memory and attention HBM traffic per frame (serving option)
+    kv_int8: bool = False
 
     def __post_init__(self):
         if not self.delays:
@@ -70,7 +73,7 @@ class LMGen:
             # bounds its attention lookback (min_pos), drives its own
             # delay-warmup, and is zeroed by reset_slots on session join.
             "age": jnp.zeros((batch_size,), jnp.int32),
-            "lm": self.model.init_state(batch_size, dtype),
+            "lm": self.model.init_state(batch_size, dtype, kv_int8=self.kv_int8),
         }
 
     def reset_slots(self, state: State, slots) -> State:

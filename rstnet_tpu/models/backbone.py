@@ -224,7 +224,7 @@ class Backbone:
         return q, k
 
     def _attention(self, q, k, v, pos_q, pos_k, window, allow_flash: bool = False,
-                   min_pos=None):
+                   min_pos=None, kv_scales=(None, None)):
         """Windowed-causal attention with GQA repeat, f32 softmax, and
         optional logit softcapping. ``window``: traced per-layer scalar
         (0 = no sliding window; config.context still applies).
@@ -273,9 +273,14 @@ class Backbone:
         g = H // Hkv
         qg = q.reshape(B, Hkv, g, Tq, D)
         scale = 1.0 / math.sqrt(cfg.attention_scores_scalar or cfg.head_size)
+        k_scale, v_scale = kv_scales
         logits = jnp.einsum(
-            "bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32
+            "bhgtd,bhsd->bhgts", qg, k.astype(q.dtype),
+            preferred_element_type=jnp.float32,
         ) * scale
+        if k_scale is not None:
+            # int8-KV ring: fold the per-step dequant scale into the logits
+            logits = logits * k_scale.astype(jnp.float32)[:, :, None, None, :]
         if cfg.attention_logit_softcapping is not None:
             cap = cfg.attention_logit_softcapping
             logits = jnp.tanh(logits / cap) * cap
@@ -292,7 +297,11 @@ class Backbone:
         else:
             logits = jnp.where(mask[None, None, None], logits, _NEG_INF)
         att = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhgts,bhsd->bhgtd", att.astype(v.dtype), v)
+        av_dtype = q.dtype if v_scale is not None else v.dtype
+        att = att.astype(av_dtype)
+        if v_scale is not None:
+            att = att * v_scale.astype(av_dtype)[:, :, None, None, :]
+        out = jnp.einsum("bhgts,bhsd->bhgtd", att, v.astype(av_dtype))
         return out.reshape(B, H, Tq, D)
 
     # -- block ----------------------------------------------------------------
@@ -312,10 +321,14 @@ class Backbone:
         q, k, v = self._qkv(block, x_normed, site(0))
         q, k = self._rope_qk(q, k, cos, sin)
         allow_flash = kv_cache is None and isinstance(offset, int) and offset == 0
+        kv_scales = (None, None)
         if kv_cache is not None:
             kv_cache, pos_k, _ = ring_kv_update(kv_cache, offset, k, v)
             k, v = kv_cache["k"], kv_cache["v"]
-        y = self._attention(q, k, v, pos_q, pos_k, window, allow_flash, min_pos)
+            kv_scales = (kv_cache.get("k_scale"), kv_cache.get("v_scale"))
+        y = self._attention(
+            q, k, v, pos_q, pos_k, window, allow_flash, min_pos, kv_scales
+        )
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(B, T, cfg.head_size * cfg.n_head)
         scaling = cfg.lora_alpha / cfg.lora_r if cfg.lora_r else 1.0
         attn_out = linear(block["proj"], y, scaling, site(1))
@@ -465,15 +478,23 @@ class Backbone:
 
     # -- streaming --------------------------------------------------------------
 
-    def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1) -> State:
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1,
+                   kv_int8: bool = False) -> State:
+        """``kv_int8``: store the ring K/V as int8 with per-step scales —
+        half the cache memory and attention HBM traffic (serving option)."""
         cfg = self.cfg
         assert cfg.context is not None, "streaming needs config.context to bound the KV ring"
         cap = cfg.context + chunk_size - 1
         shape = (cfg.n_layer, batch_size, cfg.n_query_groups, cap, cfg.head_size)
-        return {
-            "kv": {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)},
-            "offset": jnp.zeros((), jnp.int32),
-        }
+        if kv_int8:
+            kv = {
+                "k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
+                "v_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
+            }
+        else:
+            kv = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        return {"kv": kv, "offset": jnp.zeros((), jnp.int32)}
 
     def step(self, params: Params, state: State, x: jax.Array,
              min_pos: Optional[jax.Array] = None) -> tuple[jax.Array, State]:

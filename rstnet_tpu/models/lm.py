@@ -251,8 +251,9 @@ class SpeechTextLM:
 
     # -- streaming inference pieces ------------------------------------------------
 
-    def init_state(self, batch_size: int, dtype=jnp.bfloat16) -> State:
-        return self.backbone.init_state(batch_size, dtype)
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16,
+                   kv_int8: bool = False) -> State:
+        return self.backbone.init_state(batch_size, dtype, kv_int8=kv_int8)
 
     def step_global(
         self, params: Params, state: State, frame: jax.Array,

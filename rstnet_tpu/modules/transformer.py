@@ -264,6 +264,7 @@ class StreamingTransformer:
             attn = masked_attention(
                 q, new_cache["k"], new_cache["v"], pos_q, pos_k, self.context, True,
                 min_pos=min_pos,
+                k_scale=new_cache.get("k_scale"), v_scale=new_cache.get("v_scale"),
             )
         B = x.shape[0]
         attn = jnp.transpose(attn, (0, 2, 1, 3)).reshape(B, T, self.d_model)
@@ -316,14 +317,24 @@ class StreamingTransformer:
 
     # -- streaming ----------------------------------------------------------
 
-    def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1) -> State:
+    def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1,
+                   kv_int8: bool = False) -> State:
         """Streaming state. ``chunk_size`` is the max steps fed per ``step``
         call: the ring keeps ``context + chunk_size - 1`` slots so that the
         earliest query of a chunk still sees its full attention window
-        (chunk_size=1 → capacity == context, the generation-loop case)."""
+        (chunk_size=1 → capacity == context, the generation-loop case).
+        ``kv_int8`` stores the ring K/V as int8 with per-step scales — half
+        the cache memory and attention HBM traffic (serving option)."""
         cap = self.kv_capacity + chunk_size - 1
         shape = (self.num_layers, batch_size, self.num_heads, cap, self.head_dim)
-        kv = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        if kv_int8:
+            kv = {
+                "k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
+                "v_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
+            }
+        else:
+            kv = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         return {"kv": kv, "offset": jnp.zeros((), jnp.int32)}
 
     def step(self, params: Params, state: State, x: jax.Array,

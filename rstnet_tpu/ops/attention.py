@@ -37,12 +37,31 @@ def ring_positions(capacity: int, end: jax.Array) -> jax.Array:
 
 
 def ring_kv_init(
-    batch: int, heads: int, capacity: int, dim_per_head: int, dtype=jnp.bfloat16
+    batch: int, heads: int, capacity: int, dim_per_head: int, dtype=jnp.bfloat16,
+    kv_int8: bool = False,
 ) -> dict:
-    return {
-        "k": jnp.zeros((batch, heads, capacity, dim_per_head), dtype),
-        "v": jnp.zeros((batch, heads, capacity, dim_per_head), dtype),
-    }
+    """Ring cache buffers. With ``kv_int8`` the K/V slabs are stored as int8
+    with a per-(batch, head, step) scale — half the cache memory and half
+    the attention HBM read per decode step; the dequantize fuses into the
+    attention matmuls (see ``masked_attention``)."""
+    shape = (batch, heads, capacity, dim_per_head)
+    if kv_int8:
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
+            "v_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
+        }
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-(…, step) symmetric int8 over the head dim: [..., T, D] ->
+    (int8 [..., T, D], scale [..., T])."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
 
 
 def ring_kv_update(
@@ -55,24 +74,29 @@ def ring_kv_update(
     """
     T = k_new.shape[2]
     capacity = cache["k"].shape[2]
+    if "k_scale" in cache:
+        k_new, k_sc = quantize_kv(k_new)
+        v_new, v_sc = quantize_kv(v_new)
     if T == 1:
         # decode hot path: one contiguous slot — dynamic_update_slice is an
         # in-place write, where a traced-index scatter costs ~100us/layer
         pos = (end % capacity).astype(jnp.int32)
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice_in_dim(
-                cache["k"], k_new.astype(cache["k"].dtype), pos, axis=2
-            ),
-            "v": jax.lax.dynamic_update_slice_in_dim(
-                cache["v"], v_new.astype(cache["v"].dtype), pos, axis=2
-            ),
-        }
+        upd = lambda buf, new: jax.lax.dynamic_update_slice_in_dim(  # noqa: E731
+            buf, new.astype(buf.dtype), pos, axis=2
+        )
+        new_cache = {"k": upd(cache["k"], k_new), "v": upd(cache["v"], v_new)}
+        if "k_scale" in cache:
+            new_cache["k_scale"] = upd(cache["k_scale"], k_sc)
+            new_cache["v_scale"] = upd(cache["v_scale"], v_sc)
     else:
         idx = (jnp.arange(T, dtype=jnp.int32) + end) % capacity
         new_cache = {
             "k": cache["k"].at[:, :, idx, :].set(k_new.astype(cache["k"].dtype)),
             "v": cache["v"].at[:, :, idx, :].set(v_new.astype(cache["v"].dtype)),
         }
+        if "k_scale" in cache:
+            new_cache["k_scale"] = cache["k_scale"].at[:, :, idx].set(k_sc)
+            new_cache["v_scale"] = cache["v_scale"].at[:, :, idx].set(v_sc)
     new_end = end + T
     return new_cache, ring_positions(capacity, new_end), new_end
 
@@ -86,6 +110,8 @@ def masked_attention(
     context: int | None,
     causal: bool = True,
     min_pos: jax.Array | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Scaled dot-product attention with windowed-causal position mask.
 
@@ -98,6 +124,11 @@ def masked_attention(
     batched decode step, a slot that joined later sets min_pos to the global
     position of its join, hiding ring-cache keys written by the slot's
     previous occupant without physically clearing any cache.
+
+    ``k_scale``/``v_scale`` ([B, Hkv, S], optional): int8-KV mode — k/v hold
+    int8 codes and these per-step scales. The dequantize never materializes
+    a bf16 cache: the int8->bf16 convert fuses into each einsum's operand
+    read, and the scales fold into the f32 logits / the attention weights.
     """
     B, H, Tq, D = q.shape
     Hkv = k.shape[1]
@@ -109,8 +140,11 @@ def masked_attention(
     g = H // Hkv
     qg = q.reshape(B, Hkv, g, Tq, D)
     logits = jnp.einsum(
-        "bhgtd,bhsd->bhgts", qg, k, preferred_element_type=jnp.float32
+        "bhgtd,bhsd->bhgts", qg, k.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * scale
+    if k_scale is not None:
+        logits = logits * k_scale.astype(jnp.float32)[:, :, None, None, :]
     if causal:
         delta = pos_q[:, None] - pos_k[None, :]
         mask = (pos_k[None, :] >= 0) & (delta >= 0)
@@ -122,7 +156,11 @@ def masked_attention(
         else:
             logits = jnp.where(mask[None, None, None], logits, _NEG_INF)
     att = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhgts,bhsd->bhgtd", att.astype(v.dtype), v)
+    av_dtype = q.dtype if v_scale is not None else v.dtype
+    att = att.astype(av_dtype)
+    if v_scale is not None:
+        att = att * v_scale.astype(av_dtype)[:, :, None, None, :]
+    out = jnp.einsum("bhgts,bhsd->bhgtd", att, v.astype(av_dtype))
     return out.reshape(B, H, Tq, D)
 
 

@@ -223,6 +223,11 @@ def main(argv=None):
         help="serve up to N concurrent sessions through one shared batched "
              "frame step (0 = reference-style single session)",
     )
+    parser.add_argument(
+        "--kv-int8", action="store_true",
+        help="store the LM ring K/V as int8 with per-step scales: half the "
+             "cache memory and attention HBM traffic per frame",
+    )
     args = parser.parse_args(argv)
 
     from rstnet_tpu.models.convert import convert_moshi_lm, load_mimi, load_torch_state_dict
@@ -241,7 +246,7 @@ def main(argv=None):
             depformer_num_layers=1,
         )
         lm_params = lm.init(jax.random.PRNGKey(1))
-        lm_gen = LMGen(lm, delays=lm.delays, top_k=32)
+        lm_gen = LMGen(lm, delays=lm.delays, top_k=32, kv_int8=args.kv_int8)
         if args.batch:
             from rstnet_tpu.serving.batcher import SessionBatcher
 
@@ -291,7 +296,7 @@ def main(argv=None):
         lm_params["transformer"] = quantize_transformer_int8(lm_params["transformer"])
         lm_params["depformer"] = quantize_transformer_int8(lm_params["depformer"])
         lm_params["depformer_in"] = quantize_weight_int8(lm_params["depformer_in"])
-    lm_gen = LMGen(lm, delays=lm.delays)
+    lm_gen = LMGen(lm, delays=lm.delays, kv_int8=args.kv_int8)
     if args.batch:
         from rstnet_tpu.serving.batcher import SessionBatcher
 

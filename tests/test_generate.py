@@ -134,3 +134,25 @@ def test_multi_session_running_slot_unaffected_by_reset():
         outs_b.append(np.asarray(out_b[0]))
     for got, want in zip(outs_b, outs_a):
         np.testing.assert_array_equal(got, want)
+
+
+def test_kv_int8_close_to_exact():
+    """int8 ring-KV serving: hidden states track the exact bf16 cache
+    closely and the greedy token stream stays sane."""
+    m = _model()
+    params = m.init(jax.random.PRNGKey(0))
+    gen = LMGen(m, use_sampling=False)
+    gen8 = LMGen(m, use_sampling=False, kv_int8=True)
+    step = jax.jit(gen.step)
+    step8 = jax.jit(gen8.step)
+    key = jax.random.PRNGKey(2)
+    state = gen.init_state(1, dtype=jnp.float32)
+    state8 = gen8.init_state(1, dtype=jnp.float32)
+    assert state8["lm"]["kv"]["k"].dtype == jnp.int8
+    n_match = 0
+    for t in range(10):
+        out, _, state = step(params, state, key)
+        out8, _, state8 = step8(params, state8, key)
+        n_match += int((np.asarray(out) == np.asarray(out8)).all())
+    # random tiny models have near-tied logits; require most frames to agree
+    assert n_match >= 7, f"only {n_match}/10 greedy frames matched exact KV"
