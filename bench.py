@@ -322,11 +322,12 @@ def bench_codec_train(n_steps: int = 8) -> dict:
     }
 
 
-def bench_sessions(n_frames: int = 20, sizes=(32,)) -> dict:
+def bench_sessions(n_frames: int = 20, sizes=(64,)) -> dict:
     """Concurrent real-time duplex sessions per chip: the full batched
     pipeline (Mimi encode step + 2B LM frame step + Mimi decode step over
-    one shared batch, per-slot session-age masking) swept over batch sizes;
-    a batch qualifies while the amortized frame time stays under 80 ms."""
+    one shared batch, per-slot session-age masking, int8 ring-KV) swept
+    over batch sizes; a batch qualifies while the amortized frame time
+    stays under 80 ms. Falls back to half the size if a point misses."""
     import numpy as np
 
     from __graft_entry__ import _flagship
@@ -336,7 +337,7 @@ def bench_sessions(n_frames: int = 20, sizes=(32,)) -> dict:
     mimi = mimi_24k()
     mimi_params = jax.block_until_ready(mimi.init(jax.random.PRNGKey(0)))
     model = _flagship(tiny=False)
-    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q)
+    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q, kv_int8=True)
     lm_params = jax.block_until_ready(model.init(jax.random.PRNGKey(1), jnp.bfloat16))
 
     enc = jax.jit(mimi.encode_step, donate_argnums=(1,))
@@ -344,7 +345,9 @@ def bench_sessions(n_frames: int = 20, sizes=(32,)) -> dict:
     lm = jax.jit(gen.step, donate_argnums=(1,))
 
     best = {"sessions_per_chip": 0}
-    for B in sizes:
+    todo = list(sizes)
+    while todo:
+        B = todo.pop(0)
         try:
             es = mimi.init_encode_state(B)
             ds = mimi.init_decode_state(B)
@@ -370,16 +373,18 @@ def bench_sessions(n_frames: int = 20, sizes=(32,)) -> dict:
             ms = (time.perf_counter() - t0) / n_frames * 1000
             del es, ds, ls, audio
             if ms < 80.0:
-                best = {
-                    "sessions_per_chip": B,
-                    "sessions_frame_ms": round(ms, 2),
-                    "sessions_frames_per_sec": round(B * 1000 / ms, 1),
-                }
-            else:
-                break
+                if B > best["sessions_per_chip"]:
+                    best = {
+                        "sessions_per_chip": B,
+                        "sessions_frame_ms": round(ms, 2),
+                        "sessions_frames_per_sec": round(B * 1000 / ms, 1),
+                    }
+            elif B >= 8 and not todo:
+                todo.append(B // 2)  # over budget: retry at half the size
         except Exception as e:  # noqa: BLE001 - report the last passing size
             best.setdefault("sessions_bench_error", str(e)[:120])
-            break
+            if B >= 8 and not todo:
+                todo.append(B // 2)
     return best
 
 
@@ -485,8 +490,9 @@ def main():
             codec_detail.update(bench_train())
         except Exception as e:  # noqa: BLE001
             codec_detail["train_bench_error"] = str(e)[:120]
-    # sessions/chip: on TPU by default (single B=32 point, known to fit the
-    # 80 ms budget with ~40% headroom); "sweep" probes 8/16/32; "0" disables
+    # sessions/chip: on TPU by default (single B=64 point with int8 ring-KV,
+    # measured ~68 ms/frame; halves on a miss); "sweep" probes 16/32/64;
+    # "0" disables
     sessions_mode = os.environ.get("BENCH_SESSIONS", "auto")
     run_sessions = sessions_mode in ("1", "sweep") or (
         sessions_mode == "auto" and size != "tiny"
@@ -494,7 +500,7 @@ def main():
     )
     if run_sessions:
         try:
-            sizes = (8, 16, 32) if sessions_mode == "sweep" else (32,)
+            sizes = (16, 32, 64) if sessions_mode == "sweep" else (64,)
             codec_detail.update(bench_sessions(sizes=sizes))
         except Exception as e:  # noqa: BLE001 - the headline must still print
             codec_detail["sessions_bench_error"] = str(e)[:120]

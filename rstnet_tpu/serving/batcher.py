@@ -20,8 +20,9 @@ codec encode step + LM frame step + codec decode step — across up to
   slots compute garbage that is never read. This is the XLA analogue of the
   reference's CUDA-graph capture — one compiled step, replayed forever.
 
-Measured on one v5e chip with the 2B flagship (see ``BENCH_SESSIONS=1
-python bench.py``): 32 concurrent real-time sessions per chip.
+Measured on one v5e chip with the 2B flagship (see ``BENCH_SESSIONS=sweep
+python bench.py``): 64 concurrent real-time sessions per chip with the
+int8 ring-KV (``LMGen(kv_int8=True)``), 32 with the bf16 cache.
 """
 
 from __future__ import annotations
