@@ -1,7 +1,7 @@
 """Frozen semantic teachers for codec distillation.
 
 Capability parity with ``AudioCodec/MimiCodec/semantic_features/``
-(WavLMFeature:9, HuBertFeature:5, whisper/w2v-BERT stubs, selected by
+(WavLMFeature:9, HuBertFeature:5, whisper/w2v-BERT variants, selected by
 ``--semantic_feature_type`` in ``train.py:36-48``): 16 kHz SSL feature
 extractors whose layer-N hidden states distill into the semantic codebook.
 
@@ -67,6 +67,55 @@ class HubertTeacher(SemanticTeacher):
             return out.hidden_states[self.layer].numpy()
 
 
+class WhisperTeacher(SemanticTeacher):
+    """Whisper encoder hidden states (reference ``whisper_feature.py``).
+    Input is padded/trimmed to Whisper's 30 s mel window per chunk."""
+
+    def __init__(self, checkpoint: str, layer: int = -1):
+        import torch
+        from transformers import WhisperFeatureExtractor, WhisperModel
+
+        self.torch = torch
+        self.model = WhisperModel.from_pretrained(checkpoint).eval()
+        self.fe = WhisperFeatureExtractor.from_pretrained(checkpoint)
+        self.layer = layer
+        self.feature_dim = self.model.config.d_model
+
+    def extract(self, audio_16k: np.ndarray) -> np.ndarray:
+        torch = self.torch
+        with torch.no_grad():
+            feats = self.fe(
+                [a for a in audio_16k[:, 0]], sampling_rate=16000,
+                return_tensors="pt",
+            ).input_features
+            enc = self.model.encoder(feats, output_hidden_states=True)
+            return enc.hidden_states[self.layer].numpy()
+
+
+class W2vBertTeacher(SemanticTeacher):
+    """w2v-BERT 2.0 hidden states (reference ``w2vec2bert_feature.py``)."""
+
+    def __init__(self, checkpoint: str, layer: int = 12):
+        import torch
+        from transformers import AutoFeatureExtractor, Wav2Vec2BertModel
+
+        self.torch = torch
+        self.model = Wav2Vec2BertModel.from_pretrained(checkpoint).eval()
+        self.fe = AutoFeatureExtractor.from_pretrained(checkpoint)
+        self.layer = layer
+        self.feature_dim = self.model.config.hidden_size
+
+    def extract(self, audio_16k: np.ndarray) -> np.ndarray:
+        torch = self.torch
+        with torch.no_grad():
+            feats = self.fe(
+                [a for a in audio_16k[:, 0]], sampling_rate=16000,
+                return_tensors="pt",
+            ).input_features
+            out = self.model(feats, output_hidden_states=True)
+            return out.hidden_states[self.layer].numpy()
+
+
 class PrecomputedTeacher(SemanticTeacher):
     """Features extracted offline (npz keyed by utt id) — no torch at train
     time. ``extract`` is not used; the trainer feeds features directly."""
@@ -96,6 +145,12 @@ def build_teacher(kind: str, checkpoint: Optional[str] = None, **kw) -> Semantic
     if kind == "hubert":
         assert checkpoint, "hubert teacher needs a checkpoint path"
         return HubertTeacher(checkpoint, **kw)
+    if kind == "whisper":
+        assert checkpoint, "whisper teacher needs a checkpoint path"
+        return WhisperTeacher(checkpoint, **kw)
+    if kind in ("w2v-bert", "w2vbert"):
+        assert checkpoint, "w2v-bert teacher needs a checkpoint path"
+        return W2vBertTeacher(checkpoint, **kw)
     if kind == "precomputed":
         return PrecomputedTeacher(**kw)
     if kind in ("none", "null"):
