@@ -124,3 +124,36 @@ def test_sharding_rules_cover_all_params():
     # big 2D weights should actually be sharded on the tensor axis
     spec = shardings["backbone"]["blocks"]["attn"]["weight"].spec
     assert "tensor" in str(spec)
+
+
+def test_tensor_parallel_serving_frame_step():
+    """Multi-chip serving: the LMGen frame step runs with params sharded
+    over the tensor axis (Megatron-style column/row rules) and reproduces
+    the single-device greedy token stream exactly."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rstnet_tpu.inference.generate import LMGen
+    from rstnet_tpu.parallel.sharding import shard_params
+    from tests.test_speech_lm import _model
+
+    m = _model()
+    params = m.init(jax.random.PRNGKey(0))
+    gen = LMGen(m, delays=(0,) + (1,) * m.config.n_q, use_sampling=False)
+    key = jax.random.PRNGKey(5)
+    step = jax.jit(gen.step)
+
+    # single-device reference
+    state = gen.init_state(2, dtype=jnp.float32)
+    ref = []
+    for _ in range(5):
+        out, _, state = step(params, state, key)
+        ref.append(np.asarray(out))
+
+    devices = np.array(jax.devices()[:4]).reshape(1, 2, 2)
+    mesh = Mesh(devices, ("data", "fsdp", "tensor"))
+    sharded = shard_params(mesh, params)
+    state = gen.init_state(2, dtype=jnp.float32)
+    for i in range(5):
+        out, _, state = step(sharded, state, key)
+        np.testing.assert_array_equal(np.asarray(out), ref[i])
