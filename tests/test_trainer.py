@@ -3,6 +3,7 @@
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -182,3 +183,36 @@ def test_subreporter_windows_and_timers():
         msg = sub.log_message(-2)
         assert "x=" in msg
     assert "x" in r.stats[1]["train"]
+
+
+def test_checkpoint_elastic_reshard(tmp_path):
+    """Elastic resume: a checkpoint saved under one mesh shape restores
+    under a different mesh shape (orbax reshards to the target's
+    NamedShardings), with identical values."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from rstnet_tpu.parallel.sharding import shard_params
+    from rstnet_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+    from tests.test_speech_lm import _model
+
+    m = _model()
+    params = m.init(jax.random.PRNGKey(0))
+    flat_ref = jax.tree_util.tree_leaves(jax.tree.map(np.asarray, params))
+
+    mesh_a = Mesh(np.array(jax.devices()[:4]).reshape(1, 2, 2), ("data", "fsdp", "tensor"))
+    mesh_b = Mesh(np.array(jax.devices()[:8]).reshape(1, 4, 2), ("data", "fsdp", "tensor"))
+    sharded_a = shard_params(mesh_a, params)
+    save_checkpoint(tmp_path / "ep1.checkpoint", {"params": sharded_a}, {"epoch": 1})
+
+    template_b = shard_params(mesh_b, jax.tree.map(jnp.zeros_like, params))
+    restored, extras = restore_checkpoint(
+        tmp_path / "ep1.checkpoint", {"params": template_b}
+    )
+    assert extras["epoch"] == 1
+    flat_got = jax.tree_util.tree_leaves(jax.tree.map(np.asarray, restored["params"]))
+    for got, want in zip(flat_got, flat_ref):
+        np.testing.assert_array_equal(got, want)
+    # the restored arrays live on mesh B
+    leaf = jax.tree_util.tree_leaves(restored["params"])[0]
+    assert leaf.sharding.mesh.shape["fsdp"] == 4
