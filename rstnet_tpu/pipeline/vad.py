@@ -69,13 +69,22 @@ def energy_vad(
 
 
 def silero_vad(wav: np.ndarray, sr: int, **kw) -> list[VadSegment]:
-    """Silero VAD adapter (requires the silero package / torch hub cache)."""
-    import torch
+    """Silero VAD adapter. Falls back to the built-in energy VAD when the
+    model cannot be loaded (no torch hub cache / no network) — external
+    adapters must degrade gracefully, not fail the utterance."""
+    try:
+        import torch
 
-    model, utils = torch.hub.load("snakers4/silero-vad", "silero_vad", onnx=False)
-    get_speech_timestamps = utils[0]
-    ts = get_speech_timestamps(torch.as_tensor(wav), model, sampling_rate=sr)
-    return [VadSegment(t["start"] / sr, t["end"] / sr) for t in ts]
+        model, utils = torch.hub.load("snakers4/silero-vad", "silero_vad", onnx=False)
+        get_speech_timestamps = utils[0]
+        ts = get_speech_timestamps(torch.as_tensor(wav), model, sampling_rate=sr)
+        return [VadSegment(t["start"] / sr, t["end"] / sr) for t in ts]
+    except Exception as e:  # noqa: BLE001 - hub load fails in many ways offline
+        import logging
+
+        logging.warning(f"silero VAD unavailable ({e}); using energy VAD")
+        kw = {k: v for k, v in kw.items() if k in ("min_speech_s", "min_gap_s")}
+        return energy_vad(wav, sr, **kw)
 
 
 def pyannote_vad(wav_path: str, **kw) -> list[VadSegment]:
