@@ -26,7 +26,7 @@ from jax import lax
 
 from rstnet_tpu.core import Params, State, lora_dropout
 from rstnet_tpu.models.config import Config, rope_extra_config
-from rstnet_tpu.ops.attention import ring_kv_update
+from rstnet_tpu.ops.attention import ring_kv_buffers, ring_kv_update
 from rstnet_tpu.ops.rope import apply_rope_halved, build_rope_cache
 
 _NEG_INF = float("-inf")
@@ -486,14 +486,7 @@ class Backbone:
         assert cfg.context is not None, "streaming needs config.context to bound the KV ring"
         cap = cfg.context + chunk_size - 1
         shape = (cfg.n_layer, batch_size, cfg.n_query_groups, cap, cfg.head_size)
-        if kv_int8:
-            kv = {
-                "k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
-                "k_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
-                "v_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
-            }
-        else:
-            kv = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        kv = ring_kv_buffers(shape, dtype, kv_int8)
         return {"kv": kv, "offset": jnp.zeros((), jnp.int32)}
 
     def step(self, params: Params, state: State, x: jax.Array,

@@ -29,7 +29,7 @@ from rstnet_tpu.core import Params, State, lora_dropout
 from rstnet_tpu.ops.attention import (
     masked_attention,
     multi_linear,
-    ring_kv_init,
+    ring_kv_buffers,
     ring_kv_update,
 )
 from rstnet_tpu.ops.gating import ActivationGating, get_activation
@@ -327,14 +327,7 @@ class StreamingTransformer:
         the cache memory and attention HBM traffic (serving option)."""
         cap = self.kv_capacity + chunk_size - 1
         shape = (self.num_layers, batch_size, self.num_heads, cap, self.head_dim)
-        if kv_int8:
-            kv = {
-                "k": jnp.zeros(shape, jnp.int8), "v": jnp.zeros(shape, jnp.int8),
-                "k_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
-                "v_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
-            }
-        else:
-            kv = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        kv = ring_kv_buffers(shape, dtype, kv_int8)
         return {"kv": kv, "offset": jnp.zeros((), jnp.int32)}
 
     def step(self, params: Params, state: State, x: jax.Array,

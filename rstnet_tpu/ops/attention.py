@@ -36,15 +36,14 @@ def ring_positions(capacity: int, end: jax.Array) -> jax.Array:
     return jnp.where(idx >= end, -1, pos)
 
 
-def ring_kv_init(
-    batch: int, heads: int, capacity: int, dim_per_head: int, dtype=jnp.bfloat16,
-    kv_int8: bool = False,
-) -> dict:
-    """Ring cache buffers. With ``kv_int8`` the K/V slabs are stored as int8
-    with a per-(batch, head, step) scale — half the cache memory and half
-    the attention HBM read per decode step; the dequantize fuses into the
-    attention matmuls (see ``masked_attention``)."""
-    shape = (batch, heads, capacity, dim_per_head)
+def ring_kv_buffers(shape: tuple, dtype=jnp.bfloat16, kv_int8: bool = False) -> dict:
+    """Ring cache buffers of shape ``[..., capacity, dim_per_head]`` (extra
+    leading axes — e.g. a stacked layer axis — are allowed). With
+    ``kv_int8`` the K/V slabs are stored as int8 with a per-step scale —
+    half the cache memory and half the attention HBM read per decode step;
+    the dequantize fuses into the attention matmuls (``masked_attention``).
+    The single constructor keeps the quantized-cache layout defined in ONE
+    place for every streaming stack."""
     if kv_int8:
         return {
             "k": jnp.zeros(shape, jnp.int8),
@@ -53,6 +52,13 @@ def ring_kv_init(
             "v_scale": jnp.zeros(shape[:-1], jnp.bfloat16),
         }
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def ring_kv_init(
+    batch: int, heads: int, capacity: int, dim_per_head: int, dtype=jnp.bfloat16,
+    kv_int8: bool = False,
+) -> dict:
+    return ring_kv_buffers((batch, heads, capacity, dim_per_head), dtype, kv_int8)
 
 
 def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -133,6 +139,10 @@ def masked_attention(
     B, H, Tq, D = q.shape
     Hkv = k.shape[1]
     scale = 1.0 / (D**0.5)
+    # the session floor (and the pos_k >= 0 ring-validity mask it composes
+    # with) only exists in the causal branch — a non-causal caller passing
+    # min_pos would silently lose slot isolation
+    assert min_pos is None or causal, "min_pos requires causal attention"
     # GQA via a grouped einsum: never materialize the repeated K/V (a
     # jnp.repeat would copy the whole ring cache H/Hkv x wider per layer —
     # hundreds of MB of pure HBM traffic per decode frame at context 3000)
@@ -168,8 +178,10 @@ def prefix_lm_mask(loss_mask: jax.Array, prefix_lm: bool = True) -> jax.Array:
     """Attention mask from a loss mask (parity:
     ``MLLM_v2/utils/train_utils.py:236-276``): loss_mask [B, T] bool marks
     one contiguous target segment; the prefix attends bidirectionally (when
-    ``prefix_lm``), targets are causal over prefix+targets, and padding after
-    the target segment neither sees nor is seen. Returns [B, T, T] bool."""
+    ``prefix_lm``), targets are causal over prefix+targets, and padding
+    after the target segment is never *seen* as a key. Padding-position
+    queries still attend causally (their outputs are discarded by the loss
+    mask — same as the reference). Returns [B, T, T] bool."""
     B, T = loss_mask.shape
     axis = jnp.arange(T)
     big = jnp.asarray(1 << 30, jnp.int32)

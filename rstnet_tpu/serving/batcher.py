@@ -30,6 +30,7 @@ from __future__ import annotations
 import asyncio
 import dataclasses
 import logging
+import threading
 import time
 from typing import Optional
 
@@ -94,11 +95,22 @@ class SessionBatcher:
         self.dec_state = mimi.init_decode_state(B)
         self.lm_state = lm_gen.init_state(B, dtype=dtype)
         self.age = np.zeros((B,), np.int32)
+        # decoder age counts only VALID frames: during a slot's LM delay
+        # warmup the generated rows hold initial/UNGENERATED ids, which must
+        # not advance the slot's decoder state (the solo server skips decode
+        # on invalid frames, server.py:86-90); the batched step can't skip
+        # per slot, so the slot's decoder is re-reset at its first valid
+        # frame and its codec session age starts counting from there.
+        self.dec_age = np.zeros((B,), np.int32)
         self.key = jax.random.PRNGKey(int(time.time()))
         self.sessions: dict[int, Session] = {}
         self._free = list(range(B))
         self._task: Optional[asyncio.Task] = None
         self.last_step_ms = 0.0
+        # guards the streaming states: the device step runs in a worker
+        # thread while acquire/release mutate the same states from the
+        # event loop on session join/leave
+        self._state_lock = threading.Lock()
 
     # -- slot management ----------------------------------------------------
 
@@ -107,10 +119,12 @@ class SessionBatcher:
         if not self._free:
             return None
         slot = self._free.pop(0)
-        self.enc_state = self.mimi.reset_encode_slots(self.enc_state, [slot])
-        self.dec_state = self.mimi.reset_decode_slots(self.dec_state, [slot])
-        self.lm_state = self.lm_gen.reset_slots(self.lm_state, [slot])
-        self.age[slot] = 0
+        with self._state_lock:
+            self.enc_state = self.mimi.reset_encode_slots(self.enc_state, [slot])
+            self.dec_state = self.mimi.reset_decode_slots(self.dec_state, [slot])
+            self.lm_state = self.lm_gen.reset_slots(self.lm_state, [slot])
+            self.age[slot] = 0
+            self.dec_age[slot] = 0
         sess = Session(slot, asyncio.Queue(maxsize=64), asyncio.Queue(maxsize=64))
         self.sessions[slot] = sess
         return sess
@@ -121,35 +135,53 @@ class SessionBatcher:
 
     # -- the frame clock ----------------------------------------------------
 
-    def step_once(self) -> None:
-        """One batched frame across all active sessions (synchronous)."""
-        if not self.sessions:
-            return
-        B = self.max_sessions
-        pcm = np.zeros((B, 1, self.frame_size), np.float32)
-        for slot, sess in self.sessions.items():
+    def _gather_inputs(self) -> np.ndarray:
+        """Pull one frame per active session (event-loop thread only:
+        asyncio queues are not thread-safe)."""
+        pcm = np.zeros((self.max_sessions, 1, self.frame_size), np.float32)
+        for slot, sess in list(self.sessions.items()):
             try:
                 pcm[slot, 0] = sess.inputs.get_nowait()
             except asyncio.QueueEmpty:
                 pass  # silence keeps the duplex clock running
-        t0 = time.perf_counter()
-        age = jnp.asarray(self.age)
-        codes, self.enc_state = self._encode_step(
-            self.mimi_params, self.enc_state, jnp.asarray(pcm), age
-        )
-        user_streams = self.lm_gen.num_user_streams
-        user = codes[:, :user_streams, :] if user_streams else None
-        self.key, sub = jax.random.split(self.key)
-        out, valid, self.lm_state = self._lm_step(self.lm_params, self.lm_state, sub, user)
-        audio, self.dec_state = self._decode_step(
-            self.mimi_params, self.dec_state, out[:, 1:, :], age
-        )
-        audio_np = np.asarray(audio)
-        valid_np = np.asarray(valid)
-        out_np = np.asarray(out)
-        self.last_step_ms = (time.perf_counter() - t0) * 1000.0
-        self.age += 1
-        for slot, sess in self.sessions.items():
+        return pcm
+
+    def _device_step(self, pcm: np.ndarray):
+        """The batched device round-trip (safe to run in a worker thread)."""
+        with self._state_lock:
+            t0 = time.perf_counter()
+            age = jnp.asarray(self.age)
+            codes, self.enc_state = self._encode_step(
+                self.mimi_params, self.enc_state, jnp.asarray(pcm), age
+            )
+            user_streams = self.lm_gen.num_user_streams
+            user = codes[:, :user_streams, :] if user_streams else None
+            self.key, sub = jax.random.split(self.key)
+            out, _, self.lm_state = self._lm_step(
+                self.lm_params, self.lm_state, sub, user
+            )
+            # validity is deterministic from the ages — no device sync needed
+            valid_np = (self.age + 1) > self.lm_gen.max_delay
+            first_valid = [int(s) for s in np.nonzero(valid_np & (self.dec_age == 0))[0]]
+            if first_valid:
+                # discard decoder state advanced by the slot's warmup garbage
+                self.dec_state = self.mimi.reset_decode_slots(self.dec_state, first_valid)
+            # warmup rows hold initial/UNGENERATED ids: clamp to legal codes
+            # so the (discarded) decode of those rows stays finite
+            codes_out = jnp.clip(out[:, 1:, :], 0, self.mimi.quantizer.bins - 1)
+            audio, self.dec_state = self._decode_step(
+                self.mimi_params, self.dec_state, codes_out, jnp.asarray(self.dec_age)
+            )
+            audio_np = np.asarray(audio)
+            out_np = np.asarray(out)
+            self.last_step_ms = (time.perf_counter() - t0) * 1000.0
+            self.age += 1
+            self.dec_age += valid_np.astype(np.int32)
+        return audio_np, out_np, valid_np
+
+    def _distribute(self, audio_np, out_np, valid_np) -> None:
+        """Route outputs to session queues (event-loop thread only)."""
+        for slot, sess in list(self.sessions.items()):
             if not valid_np[slot]:
                 continue
             try:
@@ -157,14 +189,27 @@ class SessionBatcher:
             except asyncio.QueueFull:
                 logging.warning("slot %d output queue full; dropping frame", slot)
 
+    def step_once(self) -> None:
+        """One batched frame across all active sessions (synchronous)."""
+        if not self.sessions:
+            return
+        self._distribute(*self._device_step(self._gather_inputs()))
+
     async def run(self) -> None:
-        """The 80 ms frame clock. Start once per server."""
+        """The 80 ms frame clock. Start once per server.
+
+        The device round-trip runs in a worker thread (JAX releases the GIL
+        during device execution): at 64 sessions the step uses most of the
+        80 ms budget, and blocking the event loop for it would starve every
+        connection's websocket IO."""
         loop = asyncio.get_running_loop()
         next_tick = loop.time()
         while True:
             next_tick += FRAME_SECONDS
             if self.sessions:
-                self.step_once()
+                pcm = self._gather_inputs()
+                result = await loop.run_in_executor(None, self._device_step, pcm)
+                self._distribute(*result)
                 if self.last_step_ms > FRAME_SECONDS * 1000:
                     logging.warning(
                         "frame step %.1f ms exceeds the %.0f ms budget",

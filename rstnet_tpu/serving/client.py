@@ -29,17 +29,26 @@ FRAME_SIZE = 1920
 
 
 async def stream_file(
-    url: str, in_wav: str, out_wav: Optional[str] = None
+    url: str, in_wav: str, out_wav: Optional[str] = None,
+    drain_timeout: float = 30.0,
 ) -> tuple[np.ndarray, str]:
-    """Send a wav file frame-by-frame; return (response audio, text)."""
+    """Send a wav file frame-by-frame; return (response audio, text).
+
+    Waits until the server has answered (close to) one audio frame per
+    frame sent before closing — a ``--batch`` server consumes one frame
+    per 80 ms tick, so closing right after the last send would drop most
+    of the response.
+    """
     import aiohttp
 
     wav, sr = read_wav(in_wav)
     wav = resample_linear(wav, sr, SAMPLE_RATE)[0]
     pad = (-len(wav)) % FRAME_SIZE
     wav = np.pad(wav, (0, pad))
+    n_frames = len(wav) // FRAME_SIZE
     out_audio: list[np.ndarray] = []
     text_parts: list[str] = []
+    drained = asyncio.Event()
     async with aiohttp.ClientSession() as session:
         async with session.ws_connect(url) as ws:
             async def sender():
@@ -47,7 +56,19 @@ async def stream_file(
                     frame = wav[off : off + FRAME_SIZE]
                     await ws.send_bytes(TAG_AUDIO + float_to_pcm16(frame))
                     await asyncio.sleep(0)  # yield; real-time pacing optional
-                await asyncio.sleep(0.5)
+                # drain: all frames answered, 1 s of silence (the server owes
+                # fewer than n_frames when the model has delays), or timeout
+                deadline = asyncio.get_event_loop().time() + drain_timeout
+                while not drained.is_set():
+                    before = len(out_audio)
+                    try:
+                        await asyncio.wait_for(drained.wait(), timeout=1.0)
+                    except asyncio.TimeoutError:
+                        pass
+                    if len(out_audio) == before or (
+                        asyncio.get_event_loop().time() > deadline
+                    ):
+                        break
                 await ws.close()
 
             async def receiver():
@@ -55,6 +76,8 @@ async def stream_file(
                     data = bytes(msg.data)
                     if data[:1] == TAG_AUDIO:
                         out_audio.append(pcm16_to_float(data[1:]))
+                        if len(out_audio) >= n_frames:
+                            drained.set()
                     elif data[:1] == TAG_TEXT:
                         text_parts.append(data[1:].decode())
 

@@ -56,7 +56,6 @@ class ServerState:
         self._encode_step = jax.jit(self.mimi.encode_step, donate_argnums=(1,))
         self._decode_step = jax.jit(self.mimi.decode_step, donate_argnums=(1,))
         self._lm_step = jax.jit(self.lm_gen.step, donate_argnums=(1,))
-        self.dep_q = model.config.dep_q
         self.reset()
 
     def reset(self):
@@ -91,6 +90,19 @@ class ServerState:
         return np.asarray(audio[0, 0]), text_token
 
 
+async def _send_frame(ws, audio, text_token, text_tokenizer):
+    """Send one response frame: audio bytes + decoded (or raw) text token."""
+    await ws.send_bytes(TAG_AUDIO + float_to_pcm16(audio))
+    if text_token is None:
+        return
+    if text_tokenizer is not None:
+        text = text_tokenizer.decode([text_token])
+        if text:
+            await ws.send_bytes(TAG_TEXT + text.encode())
+    else:
+        await ws.send_bytes(TAG_TEXT + str(text_token).encode())
+
+
 async def handle_chat_batched(batcher, text_tokenizer, request):
     """Per-connection duplex loop on a shared batched pipeline: the
     connection owns one batch slot; audio is framed into the slot's input
@@ -106,15 +118,15 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
     logging.info("chat session started (slot %d)", sess.slot)
 
     async def pump_outputs():
-        while True:
-            audio, text_token = await sess.outputs.get()
-            await ws.send_bytes(TAG_AUDIO + float_to_pcm16(audio))
-            if text_token is not None and text_tokenizer is not None:
-                text = text_tokenizer.decode([text_token])
-                if text:
-                    await ws.send_bytes(TAG_TEXT + text.encode())
-            elif text_token is not None:
-                await ws.send_bytes(TAG_TEXT + str(text_token).encode())
+        try:
+            while True:
+                audio, text_token = await sess.outputs.get()
+                await _send_frame(ws, audio, text_token, text_tokenizer)
+        except asyncio.CancelledError:
+            raise
+        except Exception as e:  # noqa: BLE001 - a dead client must free the slot
+            logging.info("slot %d output stream closed (%s)", sess.slot, e)
+            await ws.close()
 
     out_task = asyncio.get_running_loop().create_task(pump_outputs())
     try:
@@ -164,13 +176,7 @@ async def handle_chat(state: ServerState, request):
                 ms = (time.perf_counter() - t0) * 1000
                 logging.info(f"frame handled in {ms:.1f} ms")
                 if audio is not None:
-                    await ws.send_bytes(TAG_AUDIO + float_to_pcm16(audio))
-                    if text_token is not None and state.text_tokenizer is not None:
-                        text = state.text_tokenizer.decode([text_token])
-                        if text:
-                            await ws.send_bytes(TAG_TEXT + text.encode())
-                    elif text_token is not None:
-                        await ws.send_bytes(TAG_TEXT + str(text_token).encode())
+                    await _send_frame(ws, audio, text_token, state.text_tokenizer)
         logging.info("chat session ended")
     return ws
 

@@ -133,3 +133,57 @@ def test_batched_server_two_concurrent_sessions():
     assert len(a) == 3 and len(b) == 3
     assert all(x.shape == (24,) for x in a + b)
     assert len(batcher.sessions) == 0 and sorted(batcher._free) == [0, 1, 2]
+
+
+def test_batched_audio_matches_solo_with_delays():
+    """The batched pipeline must not let LM delay-warmup garbage advance a
+    slot's decoder state: with greedy sampling, a batched session's audio
+    frames equal the solo pipeline (which skips decode on invalid frames)."""
+    from rstnet_tpu.serving.batcher import SessionBatcher
+
+    mimi = tiny_mimi()
+    mimi_params = mimi.init(jax.random.PRNGKey(0))
+    lm = MoshiLMModel(
+        delays=(0,) + (1,) * 8, n_q=8, dep_q=4, card=16, text_card=64, dim=32,
+        num_heads=4, num_layers=2, hidden_scale=4.0, norm="rms_norm_f32",
+        gating="silu", positional_embedding="rope", context=16,
+        existing_text_padding_id=3, depformer_dim=16,
+        depformer_dim_feedforward=32, depformer_num_heads=2,
+        depformer_num_layers=1, depformer_multi_linear=True,
+        depformer_weights_per_step=True, depformer_pos_emb="none",
+    )
+    lm_params = lm.init(jax.random.PRNGKey(1))
+    gen = LMGen(lm, delays=lm.delays, use_sampling=False)
+    key = jax.random.PRNGKey(7)
+    pcm = np.zeros((24,), np.float32)
+
+    # solo reference: skip decode while invalid (ServerState semantics)
+    es = mimi.init_encode_state(1)
+    ds = mimi.init_decode_state(1)
+    ls = gen.init_state(1, dtype=jnp.float32)
+    solo_audio = []
+    for _ in range(5):
+        chunk = jnp.asarray(pcm).reshape(1, 1, -1)
+        codes, es = mimi.encode_step(mimi_params, es, chunk)
+        user = codes[:, : gen.num_user_streams, :]
+        out, valid, ls = gen.step(lm_params, ls, key, user)
+        if bool(valid[0]):
+            audio, ds = mimi.decode_step(mimi_params, ds, out[:, 1:, :])
+            solo_audio.append(np.asarray(audio[0, 0]))
+
+    # batched: one session in a 2-slot batcher, same greedy inputs
+    batcher = SessionBatcher(
+        mimi, mimi_params, gen, lm_params, max_sessions=2, dtype=jnp.float32
+    )
+    batcher.key = key
+    sess = batcher.acquire()
+    for _ in range(5):
+        sess.inputs.put_nowait(pcm)
+        batcher.step_once()
+    got = []
+    while not sess.outputs.empty():
+        audio, _tok = sess.outputs.get_nowait()
+        got.append(audio)
+    assert len(got) == len(solo_audio)
+    for g, w in zip(got, solo_audio):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
