@@ -185,6 +185,10 @@ class WaveIterator:
                         if len(batch24) == self.batch_size:
                             q.put((np.stack(batch24), np.stack(batch16)))
                             batch24, batch16 = [], []
+            except BaseException as e:  # noqa: BLE001 - re-raised in the consumer
+                # a loader failure must FAIL the epoch, not silently end it
+                # (bad individual utterances are still skipped above)
+                q.put(e)
             finally:
                 q.put(None)
 
@@ -194,4 +198,6 @@ class WaveIterator:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

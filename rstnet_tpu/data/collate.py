@@ -114,6 +114,14 @@ class Collator:
             text = _as_tokens(self.tokenizers["text"], d["text_seq"])
             audio = _as_tokens(self.tokenizers["audio"], d["audio_seq"])
             T = text.shape[-1]
+            if audio.shape[-1] < T:
+                # the 12.5 Hz frame counts of the word-aligned text row and
+                # the codec tokens can differ by a rounding frame — pad the
+                # audio with acoustic pads rather than crash
+                audio = np.pad(
+                    audio, ((0, 0), (0, T - audio.shape[-1])),
+                    constant_values=self.sp.acoustic_pad,
+                )
             grid = np.ones((P, T), np.int64)
             grid[0] = text.reshape(-1)[:T]
             grid[1:] = audio[:, :T]
@@ -223,7 +231,8 @@ def _as_tokens(tokenizer, x) -> np.ndarray:
 
 def find_length_of(d: dict, tokenizers: dict) -> int:
     fmt = task_formats[d["task"]]
-    total = 0
-    for key, key_type in zip(fmt["loss_key"], fmt["type"]):
-        total += tokenizers[key_type].find_length(d[key])
-    return total
+    # fmt["type"] is ordered per fmt["keys"], NOT per fmt["loss_key"] (the
+    # interleaved tasks list keys=[audio, text] but loss_key=[text, audio]):
+    # map each loss key to its own tokenizer type
+    key_type = dict(zip(fmt["keys"], fmt["type"]))
+    return sum(tokenizers[key_type[k]].find_length(d[k]) for k in fmt["loss_key"])

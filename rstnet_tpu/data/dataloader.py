@@ -80,7 +80,11 @@ def batchfy(
     examples are appended until the budget (+slack) is reached so every batch
     mixes text (``dataloader.py:171-210``)."""
     batch_utts = sorted(batch_utts, key=lambda x: data_dict[x]["length"])
-    batch_text_utts = sorted(batch_text_utts, key=lambda x: text_dict[x]["length"])
+    # zero-length text would never consume budget and spin the mixing loop
+    batch_text_utts = sorted(
+        (u for u in batch_text_utts if text_dict[u]["length"] > 0),
+        key=lambda x: text_dict[x]["length"],
+    )
     text_lengths = [text_dict[k]["length"] for k in batch_text_utts]
     n_text = len(text_lengths)
 
@@ -128,7 +132,8 @@ def rebalance_data(
     per_task: dict[str, list[str]] = {}
     for utt in valid_utts:
         per_task.setdefault(data_dict[utt]["task"], []).append(utt)
-    weights = {k: hours[k] ** alpha for k in per_task}
+    # tasks without a configured hour count get a neutral default weight
+    weights = {k: hours.get(k, 10) ** alpha for k in per_task}
     total = sum(weights.values())
     weights = {k: v / total for k, v in weights.items()}
     rng = random.Random(seed)
@@ -183,7 +188,16 @@ class SyncSampler:
                 seq[start : start + chunk] = seg
             random.Random(self.seed + self.epoch).shuffle(seq)
         if self.pad_number > 0:
-            seq = list(range(min(self.pad_number, max(self.size, 1)))) + seq
+            if self.size == 0:
+                raise RuntimeError(
+                    "this host has 0 batches while another host has "
+                    f"{self.pad_number}: collective train steps would hang — "
+                    "rebalance the per-host manifest shards"
+                )
+            # repeat own batches cyclically up to the global MAX count so
+            # every host steps the same number of batches (reference
+            # DDPSyncSampler, utils/dataloader.py:262-288)
+            seq = [seq[i % self.size] for i in range(self.pad_number)] + seq
         self.seq = seq
         self.epoch += 1
 
@@ -231,6 +245,9 @@ class DataIterator:
                 uttids = self.batches[idx]
                 batch = [(u, self.data_dict[u]) for u in uttids]
                 q.put(self.collator(batch))
+        except BaseException as e:  # noqa: BLE001 - re-raised in the consumer
+            # a malformed example must FAIL the epoch, not silently end it
+            q.put(e)
         finally:
             q.put(None)
 
@@ -248,6 +265,8 @@ class DataIterator:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
@@ -265,6 +284,8 @@ def build_data_iterator(
     parallel_number: int = 9,
     special=None,
     rank: int = 0,
+    rebalance_alpha: float = 0.0,
+    data_hours: Optional[dict] = None,
 ) -> DataIterator:
     from rstnet_tpu.data.collate import SpecialTokens
 
@@ -272,6 +293,12 @@ def build_data_iterator(
     find_all_length(text_dict, tokenizers)
     valid = filter_data(data_dict, max_length, min_length)
     valid_text = filter_data(text_dict, max_length, min_length)
+    if is_train and rebalance_alpha > 0.0:
+        # temperature-resample by per-task hour weights (reference
+        # rebalance_data, dataloader.py:90-143)
+        valid = rebalance_data(
+            data_dict, valid, rebalance_alpha, data_hours, seed=seed
+        )
     batches = batchfy(data_dict, valid, text_dict, valid_text, batch_scale)
     if minibatch_debug > 0:
         batches = batches[: min(minibatch_debug, len(batches))]

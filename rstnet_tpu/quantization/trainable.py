@@ -129,10 +129,16 @@ class TrainableResidualVQ:
                 ) * (1 - self.decay)
                 if keys[q] is not None:
                     # dead-code replacement: EMA usage below threshold gets a
-                    # random batch vector (all replicas share the key)
+                    # random vector from THIS layer's residual inputs (vqp
+                    # expiry semantics — deeper layers see much smaller-norm
+                    # residuals than the layer-0 input, so sampling from
+                    # layer 0 would park dead codes far from every residual
+                    # and they would never recover); all replicas share the key
                     dead = size < self.threshold_ema_dead_code
-                    ridx = jax.random.randint(keys[q], (self.codebook_size,), 0, flat.shape[0])
-                    samples = jnp.take(lax.stop_gradient(flat), ridx, axis=0)
+                    ridx = jax.random.randint(
+                        keys[q], (self.codebook_size,), 0, r_flat.shape[0]
+                    )
+                    samples = jnp.take(lax.stop_gradient(r_flat), ridx, axis=0)
                     avg = jnp.where(
                         dead[:, None],
                         samples.astype(avg.dtype) * self.threshold_ema_dead_code,

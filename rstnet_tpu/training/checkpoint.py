@@ -37,7 +37,14 @@ def save_checkpoint(
     """Save train state (pytree of arrays) + json-serializable extras."""
     path = _ckpt_dir(path)
     if path.exists():
-        shutil.rmtree(path)
+        # only one process deletes on a shared filesystem, and everyone
+        # waits for the deletion before the collective orbax save starts
+        if jax.process_index() == 0:
+            shutil.rmtree(path, ignore_errors=True)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_rmtree")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path / "state", state)
     if extras:

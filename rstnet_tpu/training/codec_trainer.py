@@ -179,10 +179,14 @@ def main(argv=None):
     parser.add_argument("--train_scp", default="")
     parser.add_argument("--valid_scp", default="")
     parser.add_argument("--semantic_teacher", default="none",
-                        choices=["wavlm", "hubert", "precomputed", "none"])
+                        choices=["wavlm", "hubert", "whisper", "w2v-bert", "none"])
     parser.add_argument("--semantic_checkpoint", default="")
     parser.add_argument("--max_steps", type=int, default=-1)
     args = parser.parse_args(argv)
+    # 'precomputed' is a library-level teacher (features flow through
+    # g_step's features arg after offline extraction); this CLI's audio
+    # iterator carries no utterance ids to match features against, so
+    # offering it here would only crash on the first batch.
 
     with open(args.config) as f:
         cfg = yaml.safe_load(f)

@@ -187,6 +187,75 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_grad_accum_steps(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    trainable_mask: Optional[Params] = None,
+    dropout_seed: Optional[int] = None,
+):
+    """Cross-batch gradient accumulation: ``(accum_step, apply_step)``.
+
+    The reference defers the optimizer update every ``b_idx % grad_accum``
+    batches (``pre_training_full.py:226-236``). The scan variant inside
+    ``make_train_step`` needs all microbatches stacked with ONE shape; the
+    token-budget bucketed loader yields them one at a time with varying
+    shapes, so this pair accumulates across separate jitted calls instead:
+    ``accum_step(state, batch)`` adds the batch's gradients into
+    ``state["acc_grads"]`` (one program per bucket shape, state donated);
+    ``apply_step(state)`` averages over the accumulated count, applies the
+    optimizer update and zeroes the accumulator (one program total).
+
+    The caller seeds ``state["acc_grads"] = zeros_like(params)`` and
+    ``state["micro"] = 0`` (see the trainer); they are NOT checkpointed —
+    like the reference, a resume restarts mid-window accumulation.
+    """
+
+    def compute_grads(params, batch, rng=None):
+        if rng is None:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        else:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng
+            )
+        return grads, metrics
+
+    def accum_fn(state: dict, batch: dict) -> tuple[dict, dict]:
+        rng = None
+        if dropout_seed is not None:
+            rng = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state["step"]),
+                state["micro"],
+            )
+        grads, metrics = compute_grads(state["params"], batch, rng)
+        acc = jax.tree.map(
+            lambda a, g: a + g.astype(a.dtype), state["acc_grads"], grads
+        )
+        return {**state, "acc_grads": acc, "micro": state["micro"] + 1}, metrics
+
+    def apply_fn(state: dict) -> dict:
+        n = jnp.maximum(state["micro"], 1).astype(jnp.float32)
+        grads = jax.tree.map(lambda g: g / n, state["acc_grads"])
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), grads, trainable_mask
+            )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return {
+            **state,
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+            "acc_grads": jax.tree.map(jnp.zeros_like, state["acc_grads"]),
+            "micro": jnp.zeros((), jnp.int32),
+        }
+
+    return (
+        jax.jit(accum_fn, donate_argnums=(0,)),
+        jax.jit(apply_fn, donate_argnums=(0,)),
+    )
+
+
 def make_eval_step(loss_fn: Callable):
     def eval_fn(params: Params, batch: dict) -> dict:
         _, metrics = loss_fn(params, batch)

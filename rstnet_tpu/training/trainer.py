@@ -62,6 +62,13 @@ def setup_logging(rank: int, exp_dir: str) -> None:
     )
 
 
+def _ckpt_state(state: dict) -> dict:
+    """Checkpointable view: drop the transient grad-accumulation buffers
+    (params-sized; like the reference, a resume restarts the accumulation
+    window) so checkpoints stay mode-independent."""
+    return {k: v for k, v in state.items() if k not in ("acc_grads", "micro")}
+
+
 def build_model(args):
     if args.model_family == "moshi":
         # pure Moshi RQ-Transformer (v1 finetuning_full_* trainer parity);
@@ -236,7 +243,7 @@ def main(argv=None) -> None:
             max_length=args.max_length, min_length=args.min_length,
             parallel_number=args.parallel_number, seed=args.seed,
             minibatch_debug=args.minibatch_debug, is_train=True, rank=rank,
-            special=special,
+            special=special, rebalance_alpha=args.rebalance_alpha,
         )
     if args.valid_data_jsons:
         valid_data, valid_text = load_data_for_all_tasks(
@@ -268,9 +275,21 @@ def main(argv=None) -> None:
             reporter.load_state_dict(extras["reporter"])
             logging.info(f"resumed from {resumed} at epoch {reporter.get_epoch()}")
         use_lora_dropout = args.lora_r > 0 and args.lora_dropout > 0.0
+        dropout_seed = args.seed if use_lora_dropout else None
+        accum_step = apply_step = None
+        if args.grad_accum > 1:
+            # deferred updates over the bucketed loader (reference
+            # b_idx % grad_accum, pre_training_full.py:226-236)
+            from rstnet_tpu.training.train_step import make_grad_accum_steps
+
+            accum_step, apply_step = make_grad_accum_steps(
+                loss_fn, tx, trainable_mask=trainable_mask,
+                dropout_seed=dropout_seed,
+            )
+            state["acc_grads"] = jax.tree.map(jnp.zeros_like, state["params"])
+            state["micro"] = jnp.zeros((), jnp.int32)
         train_step = make_train_step(
-            loss_fn, tx, trainable_mask=trainable_mask,
-            dropout_seed=args.seed if use_lora_dropout else None,
+            loss_fn, tx, trainable_mask=trainable_mask, dropout_seed=dropout_seed,
         )
         eval_step = make_eval_step(loss_fn)
         b_shard = batch_sharding(mesh, 3)
@@ -309,7 +328,12 @@ def main(argv=None) -> None:
                              "seq_len": batch["tokens"].shape[2]}
                         )
                         with sub.measure_time("step_time"):
-                            state, metrics = train_step(state, device_batch(batch))
+                            if accum_step is not None:
+                                state, metrics = accum_step(state, device_batch(batch))
+                                if b_idx % args.grad_accum == 0:
+                                    state = apply_step(state)
+                            else:
+                                state, metrics = train_step(state, device_batch(batch))
                         sub.register({k: float(v) for k, v in metrics.items()})
                         sub.register({"lr": float(schedule(int(state["step"]) - 1))})
                         sub.next()
@@ -317,7 +341,8 @@ def main(argv=None) -> None:
                             logging.info(sub.log_message(-args.print_freq))
                         if args.save_interval > 0 and b_idx % args.save_interval == 0:
                             save_checkpoint(
-                                f"{args.exp_dir}/ep{ep}-iter{b_idx}.checkpoint", state,
+                                f"{args.exp_dir}/ep{ep}-iter{b_idx}.checkpoint",
+                                _ckpt_state(state),
                                 {"reporter": reporter.state_dict()},
                                 keep_last=args.keep_last_ckpt,
                             )
@@ -331,7 +356,7 @@ def main(argv=None) -> None:
                         sub.next()
             logging.info(reporter.log_message())
             save_checkpoint(
-                f"{args.exp_dir}/ep{ep}.checkpoint", state,
+                f"{args.exp_dir}/ep{ep}.checkpoint", _ckpt_state(state),
                 {"reporter": reporter.state_dict()}, keep_last=args.keep_last_ckpt,
             )
 

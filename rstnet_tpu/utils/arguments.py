@@ -21,6 +21,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_length", type=int, default=-1)
     p.add_argument("--parallel_number", type=int, default=9, choices=[9, 17])
     p.add_argument("--minibatch_debug", type=int, default=-1)
+    p.add_argument("--rebalance_alpha", type=float, default=0.0,
+                   help="temperature for per-task hour re-weighting "
+                        "(0 disables; reference rebalance_data)")
     p.add_argument("--n_worker", type=int, default=4)
     p.add_argument("--audio_tokenizer", type=str, default="mimi")
     p.add_argument("--text_tokenizer", type=str, default="llama3-8B")

@@ -157,3 +157,40 @@ def test_tensor_parallel_serving_frame_step():
     for i in range(5):
         out, _, state = step(sharded, state, key)
         np.testing.assert_array_equal(np.asarray(out), ref[i])
+
+
+def test_cross_batch_grad_accum_matches_scan_variant():
+    """make_grad_accum_steps (variable-shape batches arriving one at a
+    time) reproduces the scan-variant microbatch accumulation."""
+    from rstnet_tpu.training.train_step import make_grad_accum_steps
+
+    model, params, batch = _setup()
+    tx = make_optimizer(warmup_lr(1e-3, 10))
+    loss_fn = make_loss_fn(model, audio_ignore_id=33, text_ignore_id=127)
+
+    micro = {
+        k: jnp.asarray(v).reshape(2, 4, *v.shape[1:])
+        for k, v in batch.items()
+        if k in ("tokens", "masks")
+    }
+    state_ref = init_train_state(params, tx)
+    step_ref = make_train_step(loss_fn, tx, grad_accum=2, donate=False)
+    state_ref, _ = step_ref(state_ref, micro)
+
+    accum, apply = make_grad_accum_steps(loss_fn, tx)
+    state = init_train_state(params, tx)
+    state["acc_grads"] = jax.tree.map(jnp.zeros_like, state["params"])
+    state["micro"] = jnp.zeros((), jnp.int32)
+    for a in range(2):
+        mb = {k: v[a] for k, v in micro.items()}
+        state, _ = accum(state, mb)
+    state = apply(state)
+
+    assert int(state["step"]) == 1 and int(state["micro"]) == 0
+    worst = max(
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree.leaves(state_ref["params"]), jax.tree.leaves(state["params"])
+        )
+    )
+    assert worst < 1e-5, worst

@@ -216,3 +216,24 @@ def test_checkpoint_elastic_reshard(tmp_path):
     # the restored arrays live on mesh B
     leaf = jax.tree_util.tree_leaves(restored["params"])[0]
     assert leaf.sharding.mesh.shape["fsdp"] == 4
+
+
+@pytest.mark.slow
+def test_trainer_grad_accum(tmp_path):
+    """--grad_accum 2 trains end to end (deferred optimizer updates over
+    the bucketed loader) and saves a resumable checkpoint without the
+    transient accumulator buffers."""
+    from rstnet_tpu.training import trainer
+    from rstnet_tpu.training.checkpoint import latest_checkpoint, restore_checkpoint
+
+    _write_synthetic(tmp_path)
+    exp = tmp_path / "exp_accum"
+    trainer.main(_trainer_args(tmp_path, exp, extra=("--grad_accum", "2", "--n_epoch", "1")))
+    ckpt = latest_checkpoint(exp)
+    assert ckpt is not None
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(ckpt / "state")
+    assert "acc_grads" not in raw and "micro" not in raw
+    assert int(np.asarray(raw["step"])) >= 1
