@@ -268,6 +268,11 @@ class Backbone:
                 return flash_attention(q, k, v, cfg.context, scale)
         B, H, Tq, D = q.shape
         Hkv = k.shape[1]
+        # NOTE: the masking/GQA/int8 core below intentionally mirrors
+        # ops/attention.masked_attention plus the backbone-only extras
+        # (softcap, per-layer sliding window, attention_scores_scalar).
+        # Fixes to the min_pos/ring-validity/int8-scale logic must be
+        # applied to BOTH paths.
         # GQA via a grouped einsum — never materialize the repeated K/V
         # (a repeat would copy the ring cache H/Hkv x wider per layer)
         g = H // Hkv
@@ -496,6 +501,12 @@ class Backbone:
         ``min_pos`` ([B] int32, optional): per-batch-row limit on attention
         lookback (multi-session batched serving; see ``masked_attention``)."""
         T = x.shape[1]
+        cap = state["kv"]["k"].shape[-2]
+        assert T <= cap - self.cfg.context + 1, (
+            f"chunk of {T} steps exceeds the ring's chunk_size "
+            f"({cap - self.cfg.context + 1}): older in-window keys would be "
+            "silently evicted — init_state with chunk_size >= the chunk length"
+        )
         offset = state["offset"]
         positions = offset + jnp.arange(T)
         cos, sin = self.rope(positions)

@@ -279,7 +279,10 @@ def convert_speech_lm(sd: SD, model) -> Params:
             [_get(sd, f"codecformer_emb.{k}.weight") for k in range(cfg.dep_q - 1)]
         ),
         "codecformer_in": jnp.stack(
-            [_lin(sd, f"codecformer_in.{k}", False)["weight"] for k in range(cfg.dep_q)]
+            [
+                _lin(sd, f"codecformer_in.{k}", False)["weight"]
+                for k in range(cfg.dep_q if cfg.codecformer_multi_linear else 1)
+            ]
         ),
         "audio_linears": {
             "weight": jnp.stack(
@@ -291,6 +294,28 @@ def convert_speech_lm(sd: SD, model) -> Params:
         p["audio_linears"]["bias"] = jnp.stack(
             [_get(sd, f"audio_linears.{k}.bias") for k in range(cfg.dep_q)]
         )
+    if cfg.codecformer_norm_emb:
+        # post-embedding layer norms (ScaledEmbedding(norm=True))
+        p["input_emb_norm"] = {
+            "weight": jnp.stack(
+                [_get(sd, f"input_emb.{k}.norm.weight") for k in range(cfg.n_q)]
+            )[:, None, :],
+            "bias": jnp.stack(
+                [_get(sd, f"input_emb.{k}.norm.bias") for k in range(cfg.n_q)]
+            )[:, None, :],
+        }
+        p["codecformer_emb_norm"] = {
+            "weight": jnp.stack(
+                [_get(sd, f"codecformer_emb.{k}.norm.weight") for k in range(cfg.dep_q - 1)]
+            ),
+            "bias": jnp.stack(
+                [_get(sd, f"codecformer_emb.{k}.norm.bias") for k in range(cfg.dep_q - 1)]
+            ),
+        }
+        p["codecformer_text_emb_norm"] = {
+            "weight": _get(sd, "codecformer_text_emb.norm.weight"),
+            "bias": _get(sd, "codecformer_text_emb.norm.bias"),
+        }
     return p
 
 

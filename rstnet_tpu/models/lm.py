@@ -43,13 +43,27 @@ ZERO_TOKEN_ID = -1
 UNGENERATED_TOKEN_ID = -2
 
 
+def _emb_layer_norm(y: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    yf = y.astype(jnp.float32)
+    mu = yf.mean(-1, keepdims=True)
+    var = yf.var(-1, keepdims=True)
+    out = (yf - mu) * jax.lax.rsqrt(var + 1e-5) * w.astype(jnp.float32) + b.astype(
+        jnp.float32
+    )
+    return out.astype(y.dtype)
+
+
 def scaled_embedding(
-    table: jax.Array, tokens: jax.Array, zero_idx: int = ZERO_TOKEN_ID
+    table: jax.Array, tokens: jax.Array, zero_idx: int = ZERO_TOKEN_ID, norm=None
 ) -> jax.Array:
     """Embedding where ``zero_idx`` rows output exactly 0
-    (``llama_streaming.py:493-518``)."""
+    (``llama_streaming.py:493-518``). ``norm`` (optional {weight, bias}):
+    post-embedding layer norm (``codecformer_norm_emb``) — applied before
+    the zero-mask, matching the reference's ScaledEmbedding order."""
     is_zero = tokens == zero_idx
     y = jnp.take(table, jnp.clip(tokens, 0, None), axis=0, mode="clip")
+    if norm is not None:
+        y = _emb_layer_norm(y, norm["weight"], norm["bias"])
     return jnp.where(is_zero[..., None], 0.0, y)
 
 
@@ -121,9 +135,13 @@ class SpeechTextLM:
             "codecformer_emb": jax.random.normal(
                 keys[4], (cfg.dep_q - 1, card1, cfg.codecformer_dim), dtype
             ),
+            # one input view per codebook, or a single shared view when
+            # codecformer_multi_linear=False (llama_streaming.py Config)
             "codecformer_in": jax.random.uniform(
-                keys[5], (cfg.dep_q, cfg.codecformer_dim, cfg.n_embd), dtype,
-                -1.0 / cfg.n_embd**0.5, 1.0 / cfg.n_embd**0.5,
+                keys[5],
+                (cfg.dep_q if cfg.codecformer_multi_linear else 1,
+                 cfg.codecformer_dim, cfg.n_embd),
+                dtype, -1.0 / cfg.n_embd**0.5, 1.0 / cfg.n_embd**0.5,
             ),
             "audio_linears": {
                 "weight": jax.random.uniform(
@@ -134,6 +152,20 @@ class SpeechTextLM:
         }
         if cfg.codecformer_bias_proj:
             p["audio_linears"]["bias"] = jnp.zeros((cfg.dep_q, cfg.audio_card), dtype)
+        if cfg.codecformer_norm_emb:
+            # post-embedding layer norms (reference ScaledEmbedding(norm=True))
+            D, C = cfg.n_embd, cfg.codecformer_dim
+            p["input_emb_norm"] = {
+                "weight": jnp.ones((cfg.n_q, 1, D), dtype),
+                "bias": jnp.zeros((cfg.n_q, 1, D), dtype),
+            }
+            p["codecformer_emb_norm"] = {
+                "weight": jnp.ones((cfg.dep_q - 1, C), dtype),
+                "bias": jnp.zeros((cfg.dep_q - 1, C), dtype),
+            }
+            p["codecformer_text_emb_norm"] = {
+                "weight": jnp.ones((C,), dtype), "bias": jnp.zeros((C,), dtype),
+            }
         return p
 
     # -- input fusion -----------------------------------------------------------
@@ -158,12 +190,15 @@ class SpeechTextLM:
             jnp.arange(cfg.n_q, dtype=audio_tokens.dtype)[None, :, None] * card1
         )
         emb = jnp.take(flat_table, idx, axis=0)  # [B, n_q, T, D]
+        if "input_emb_norm" in params:
+            np_ = params["input_emb_norm"]
+            emb = _emb_layer_norm(emb, np_["weight"][None], np_["bias"][None])
         emb = jnp.where((audio_tokens == self.zero_token_id)[..., None], 0.0, emb)
         x = jnp.sum(emb, axis=1)  # [B, T, D]
-        x = x + jnp.take(
-            params["backbone"]["wte"], jnp.clip(sequence[:, 0, :], 0, None),
-            axis=0, mode="clip",
-        )
+        # the text row honors zero_token_id too (embeds to exactly 0, like
+        # the audio rows and MoshiLMModel's scaled_embedding) — a bare clip
+        # would silently add token 0's embedding instead
+        x = x + scaled_embedding(params["backbone"]["wte"], sequence[:, 0, :])
         if cfg.scale_embeddings:
             x = x * jnp.asarray(cfg.n_embd**0.5, x.dtype)
         return x
@@ -200,13 +235,19 @@ class SpeechTextLM:
         # Per-codebook linear views of the backbone output.
         dep_in = jnp.einsum(
             "btd,kcd->btkc", transformer_out,
-            resolve_weight(params["codecformer_in"], transformer_out.dtype),
+            self._codecformer_in_weight(params, transformer_out.dtype),
         )  # [B, T, dep_q, C]
         # Previous-token embeddings per step.
-        prev = [scaled_embedding(params["codecformer_text_emb"], text_tokens)]
+        tnorm = params.get("codecformer_text_emb_norm")
+        anorm = params.get("codecformer_emb_norm")
+        prev = [scaled_embedding(params["codecformer_text_emb"], text_tokens, norm=tnorm)]
         for k in range(cfg.dep_q - 1):
             prev.append(
-                scaled_embedding(params["codecformer_emb"][k], audio_targets[:, k, :])
+                scaled_embedding(
+                    params["codecformer_emb"][k], audio_targets[:, k, :],
+                    norm=None if anorm is None else
+                    {"weight": anorm["weight"][k], "bias": anorm["bias"][k]},
+                )
             )
         prev_emb = jnp.stack(prev, axis=2)  # [B, T, dep_q, C]
         x = (dep_in + prev_emb).reshape(B * T, cfg.dep_q, cfg.codecformer_dim)
@@ -266,12 +307,20 @@ class SpeechTextLM:
         hidden, state = self.backbone.step(params["backbone"], state, x, min_pos=min_pos)
         return hidden, self.backbone.logits(params["backbone"], hidden), state
 
+    def _codecformer_in_weight(self, params: Params, dtype) -> jax.Array:
+        """[dep_q, C, D] input-view weights; a single shared view
+        (codecformer_multi_linear=False) broadcasts to all codebooks."""
+        w = resolve_weight(params["codecformer_in"], dtype)
+        if w.shape[0] == 1 and self.config.dep_q > 1:
+            w = jnp.broadcast_to(w, (self.config.dep_q,) + w.shape[1:])
+        return w
+
     def codecformer_inputs(self, params: Params, transformer_out: jax.Array) -> jax.Array:
         """All dep_q per-codebook linear views of the backbone output in ONE
         matmul: [B, T, D] -> [B, dep_q, T, C]. The views don't depend on the
         sampled tokens, so the decode loop hoists them out of the 8
         sequential micro-steps."""
-        w_in = resolve_weight(params["codecformer_in"], transformer_out.dtype)
+        w_in = self._codecformer_in_weight(params, transformer_out.dtype)
         return jnp.einsum("btd,kcd->bktc", transformer_out, w_in)
 
     def step_codecformer(
@@ -291,11 +340,21 @@ class SpeechTextLM:
         cfg = self.config
         if dep_in is None:
             w_in = resolve_weight(params["codecformer_in"], transformer_out.dtype)
-            dep_in = transformer_out @ w_in[cb_index].T
+            k = cb_index if cfg.codecformer_multi_linear else 0
+            dep_in = transformer_out @ w_in[k].T
         if cb_index == 0:
-            emb = scaled_embedding(params["codecformer_text_emb"], prev_token)
+            emb = scaled_embedding(
+                params["codecformer_text_emb"], prev_token,
+                norm=params.get("codecformer_text_emb_norm"),
+            )
         else:
-            emb = scaled_embedding(params["codecformer_emb"][cb_index - 1], prev_token)
+            anorm = params.get("codecformer_emb_norm")
+            emb = scaled_embedding(
+                params["codecformer_emb"][cb_index - 1], prev_token,
+                norm=None if anorm is None else
+                {"weight": anorm["weight"][cb_index - 1],
+                 "bias": anorm["bias"][cb_index - 1]},
+            )
         x = dep_in + emb  # [B, 1, C]
         out, cf_state = self.codecformer.step(params["codecformer"], cf_state, x)
         w_al = resolve_weight(params["audio_linears"]["weight"], out.dtype)

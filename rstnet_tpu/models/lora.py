@@ -202,12 +202,13 @@ def lora_filter(params: Params) -> Params:
     adapters (parity: ``lora_filter``/``mark_only_lora_as_trainable``,
     ``MLLM_v2/models/llama_streaming.py:409-446``). The inverse is
     ``attach_lora`` onto a freshly-initialized (or pretrained) base tree."""
-    _LORA_KEYS = ("lora", "lora_q", "lora_k", "lora_v")
-
     def walk(p: Params) -> Params:
         out = {}
         for k, v in p.items():
-            if k in _LORA_KEYS:
+            # any "lora"/"lora_*" subtree is an adapter (matches is_lora_path
+            # and strip_lora — includes the streaming transformer's
+            # lora_in_proj/lora_out_proj overlays)
+            if k == "lora" or k.startswith("lora_"):
                 out[k] = v
             elif isinstance(v, dict):
                 sub = walk(v)

@@ -205,11 +205,23 @@ class MimiModel:
 
     @staticmethod
     def _zero_slot_rows(tree: State, slots: jax.Array) -> State:
-        """Zero batch rows of conv/resample carries (axis 0 = batch; zero
-        carry == fresh causal padding). Scalar leaves are untouched."""
-        return jax.tree_util.tree_map(
-            lambda leaf: leaf.at[slots].set(0) if leaf.ndim >= 1 else leaf, tree
-        )
+        """Reset batch rows of conv/resample carries to their fresh-stream
+        values (axis 0 = batch): carries zero (== fresh causal padding for
+        constant pad mode) and ``first`` flags True (replicate/reflect pad
+        modes re-derive the left pad from the slot's first chunk)."""
+
+        def walk(node, name=""):
+            if isinstance(node, dict):
+                return {k: walk(v, k) for k, v in node.items()}
+            if isinstance(node, (list, tuple)):
+                return type(node)(walk(v, name) for v in node)
+            if name == "first":
+                return node.at[slots].set(True)
+            if node.ndim >= 1:
+                return node.at[slots].set(0)
+            return node
+
+        return walk(tree)
 
     def reset_encode_slots(self, state: State, slots) -> State:
         """Reset batch slots of a streaming encode state for new sessions.

@@ -114,10 +114,6 @@ class SEANetResnetBlock:
         return u + v, new_state
 
 
-def _block_norm(norm: str, disable_outer: int, block_idx: int) -> str:
-    return "none" if disable_outer >= block_idx else norm
-
-
 @dataclasses.dataclass(frozen=True)
 class SEANetEncoder:
     """[B, channels, T] audio -> [B, dimension, T/hop] latents."""

@@ -253,9 +253,11 @@ class StreamingTransformer:
         if self.positional_embedding in ("rope", "sin_rope"):
             q, k = apply_rope_interleaved(q, k, offset, self.max_period)
         if kv_cache is None:
-            pos = jnp.arange(T, dtype=jnp.int32)
-            pos_q = jnp.asarray(offset, jnp.int32) + pos
-            attn = masked_attention(q, k, v, pos_q, pos, self.context, self.causal)
+            # keys live at the same absolute positions as the queries — an
+            # asymmetric pos_k = arange(T) would shift the causal/window
+            # deltas by `offset` and break the mask for offset != 0
+            pos = jnp.asarray(offset, jnp.int32) + jnp.arange(T, dtype=jnp.int32)
+            attn = masked_attention(q, k, v, pos, pos, self.context, self.causal)
             new_cache = None
         else:
             assert self.causal, "streaming only for causal attention"
@@ -337,6 +339,12 @@ class StreamingTransformer:
         ``min_pos`` ([B] int32, optional): per-batch-row attention lookback
         limit (multi-session batched serving; see ``masked_attention``)."""
         B, T, C = x.shape
+        cap = state["kv"]["k"].shape[-2]
+        assert T <= cap - self.kv_capacity + 1, (
+            f"chunk of {T} steps exceeds the ring's chunk_size "
+            f"({cap - self.kv_capacity + 1}): older in-window keys would be "
+            "silently evicted — init_state with chunk_size >= the chunk length"
+        )
         offset = state["offset"]
         if self.positional_embedding in ("sin", "sin_rope"):
             positions = offset + jnp.arange(T)

@@ -216,7 +216,9 @@ class StreamingConv1d:
             "buf": jnp.zeros((batch_size, self.in_channels, self.padding_total), dtype)
         }
         if self.pad_mode != "constant":
-            state["first"] = jnp.ones((), jnp.bool_)
+            # per-batch-row: in multi-session serving a slot can be reset to
+            # a fresh stream (first=True) while its neighbours keep running
+            state["first"] = jnp.ones((batch_size,), jnp.bool_)
         return state
 
     def step(self, params: Params, state: State, x: jax.Array) -> tuple[jax.Array, State]:
@@ -236,7 +238,7 @@ class StreamingConv1d:
                 pad = jnp.flip(x[..., 1 : pt + 1], axis=-1)
             else:
                 pad = jnp.repeat(x[..., :1], pt, axis=-1)
-            buf = jnp.where(state["first"], pad, buf)
+            buf = jnp.where(state["first"][:, None, None], pad, buf)
         full = jnp.concatenate([buf, x], axis=-1)
         num_frames = T // self.stride
         in_len = (num_frames - 1) * self.stride + self.effective_kernel_size
@@ -246,7 +248,7 @@ class StreamingConv1d:
         )
         new_state = {"buf": full[..., T:]}
         if self.pad_mode != "constant":
-            new_state["first"] = jnp.zeros((), jnp.bool_)
+            new_state["first"] = jnp.zeros_like(state["first"])
         return y, new_state
 
 

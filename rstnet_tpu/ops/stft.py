@@ -74,7 +74,9 @@ def stft(
     frames = frame_signal(x.astype(jnp.float32), fft_size, hop_size, center)
     spec = _rfft(frames * window, fft_size)
     if normalized:
-        spec = spec / jnp.sqrt(jnp.sum(jnp.square(window)))
+        # torch.stft(normalized=True) multiplies by frame_length**-0.5
+        # (frame_length == n_fft), NOT by the window energy
+        spec = spec / jnp.sqrt(jnp.asarray(fft_size, jnp.float32))
     return jnp.swapaxes(spec, -1, -2)  # [..., freq, frames]
 
 

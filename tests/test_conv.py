@@ -171,3 +171,30 @@ class TestTorchParity:
                 y_t = tconv(x[..., off : off + 16]).numpy()
                 y_j, state = jconv.step(params, state, xj[..., off : off + 16])
                 np.testing.assert_allclose(np.asarray(y_j), y_t, atol=2e-5)
+
+
+def test_replicate_pad_first_flag_is_per_slot():
+    """Multi-session serving: resetting one slot of a replicate-pad
+    streaming conv (zero carry + first=True) reproduces a fresh stream
+    exactly, while other slots keep their state."""
+    from rstnet_tpu.modules.resample import ConvDownsample1d
+
+    ds = ConvDownsample1d(2, dimension=4, causal=True, learnt=True)
+    p = ds.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.standard_normal((2, 4, 2)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, 4, 2)), jnp.float32)
+
+    s = ds.init_state(2)
+    assert s["first"].shape == (2,)
+    y, s = ds.step(p, s, x1)
+    # reset slot 1 the way MimiModel.reset_encode_slots does
+    s_reset = {"buf": s["buf"].at[1].set(0), "first": s["first"].at[1].set(True)}
+    y2, s_after = ds.step(p, s_reset, x2)
+
+    s0 = ds.init_state(1)
+    y0, _ = ds.step(p, s0, x2[1:])
+    np.testing.assert_allclose(np.asarray(y2[1]), np.asarray(y0[0]), rtol=1e-5, atol=1e-6)
+    # slot 0 unaffected by the reset
+    y_cont, _ = ds.step(p, {"buf": s["buf"], "first": s["first"]}, x2)
+    np.testing.assert_allclose(np.asarray(y2[0]), np.asarray(y_cont[0]), rtol=1e-5, atol=1e-6)

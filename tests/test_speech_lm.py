@@ -148,3 +148,29 @@ class TestTorchParity:
         audio_j, text_j = m(params, jnp.asarray(seq.numpy()))
         np.testing.assert_allclose(np.asarray(text_j), text_t.numpy(), atol=1e-4)
         np.testing.assert_allclose(np.asarray(audio_j), audio_t.numpy(), atol=1e-4)
+
+
+def test_shared_codecformer_in_and_norm_emb():
+    """codecformer_multi_linear=False (one shared input view) and
+    codecformer_norm_emb=True (post-embedding layer norms) build, train-
+    forward, and generate."""
+    import dataclasses
+
+    from rstnet_tpu.inference.generate import LMGen
+
+    base = _model().config
+    cfg = dataclasses.replace(
+        base, codecformer_multi_linear=False, codecformer_norm_emb=True
+    )
+    m = SpeechTextLM(cfg)
+    params = m.init(jax.random.PRNGKey(0))
+    assert params["codecformer_in"].shape[0] == 1
+    assert "input_emb_norm" in params
+    B, S = 2, 6
+    seq = jax.random.randint(jax.random.PRNGKey(1), (B, m.num_codebooks, S), 0, 8)
+    audio_logits, text_logits = m(params, seq)
+    assert np.isfinite(np.asarray(audio_logits)).all()
+    gen = LMGen(m, use_sampling=False)
+    state = gen.init_state(1, dtype=jnp.float32)
+    out, valid, state = jax.jit(gen.step)(params, state, jax.random.PRNGKey(2))
+    assert out.shape == (1, cfg.dep_q + 1, 1)
