@@ -63,9 +63,10 @@ def main(argv=None) -> dict:
         )
     if not results:
         raise SystemExit("no matching wav pairs found")
+    all_keys = sorted({k for r in results.values() for k in r})
     means = {
-        k: float(np.nanmean([r[k] for r in results.values() if k in r]))
-        for k in next(iter(results.values()))
+        k: float(np.nanmean([r[k] for r in results.values() if k in r and r[k] is not None]))
+        for k in all_keys
     }
     report = {"mean": means, "files": results, "n": len(results)}
     print(json.dumps(report["mean"], indent=2))

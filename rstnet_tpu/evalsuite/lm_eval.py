@@ -81,17 +81,37 @@ def main(argv=None) -> dict:
         parallel_number=args.parallel_number, is_train=False,
     )
     inf = OfflineInference(model, params)
-    totals: dict[str, float] = {}
+    # corpus-level aggregation: weight every batch by its valid-token count
+    # (token-budget batches vary widely in size; a flat per-batch average
+    # would bias CE/accuracy, and ppl must be exp of the aggregated CE)
+    wsum: dict[str, float] = {}
+    n_audio = n_text = 0.0
     n = 0
+    dep_q = model.config.dep_q
     for batch in it:
         m = inf.teacher_forced_metrics(
             jnp.asarray(batch["tokens"]), jnp.asarray(batch["masks"])
         )
-        for k, v in m.items():
-            totals[k] = totals.get(k, 0.0) + v
+        na, nt = m["n_audio_tokens"], m["n_text_tokens"]
+        for k, w in (("loss_audio", na), ("acc_audio", na),
+                     ("loss_text", nt), ("acc_text", nt)):
+            wsum[k] = wsum.get(k, 0.0) + m[k] * w
+        n_audio += na
+        n_text += nt
         n += 1
-    report = {k: v / max(n, 1) for k, v in totals.items()}
+    report = {
+        "loss_audio": wsum.get("loss_audio", 0.0) / max(n_audio, 1.0),
+        "acc_audio": wsum.get("acc_audio", 0.0) / max(n_audio, 1.0),
+        "loss_text": wsum.get("loss_text", 0.0) / max(n_text, 1.0),
+        "acc_text": wsum.get("acc_text", 0.0) / max(n_text, 1.0),
+    }
+    import math
+
+    report["ppl_audio"] = math.exp(report["loss_audio"] / dep_q)
+    report["ppl_text"] = math.exp(report["loss_text"])
     report["n_batches"] = n
+    report["n_audio_tokens"] = n_audio
+    report["n_text_tokens"] = n_text
     print(json.dumps(report, indent=2))
     if args.output:
         with open(args.output, "w") as f:

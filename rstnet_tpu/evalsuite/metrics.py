@@ -90,17 +90,19 @@ def stoi(ref: np.ndarray, deg: np.ndarray, sr: int = 24000) -> float:
     if sr != fs:
         ref = resample_poly(ref, fs, sr)
         deg = resample_poly(deg, fs, sr)
-    n_fft, hop = 512, 256
+    # classic STOI framing: 256-sample frames, 50% overlap, zero-padded
+    # to a 512-point FFT (Taal et al. 2011)
+    n_fft, frame, hop = 512, 256, 128
     # remove silent frames (40 dB below peak)
-    frames = 1 + (len(ref) - n_fft) // hop
+    frames = 1 + (len(ref) - frame) // hop
     if frames < 35:
         return float("nan")
-    w = np.hanning(n_fft + 2)[1:-1]
-    idx = np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    w = np.hanning(frame + 2)[1:-1]
+    idx = np.arange(frames)[:, None] * hop + np.arange(frame)[None, :]
     e = 20 * np.log10(np.linalg.norm(ref[idx] * w, axis=1) + 1e-12)
     keep = e > (e.max() - 40)
-    Xf = np.fft.rfft(ref[idx][keep] * w, axis=1)
-    Yf = np.fft.rfft(deg[idx][keep] * w, axis=1)
+    Xf = np.fft.rfft(ref[idx][keep] * w, n=n_fft, axis=1)
+    Yf = np.fft.rfft(deg[idx][keep] * w, n=n_fft, axis=1)
     # one-third octave bands, 150 Hz .. fs/2, 15 bands
     n_bands = 15
     cf = 150 * 2 ** (np.arange(n_bands) / 3)

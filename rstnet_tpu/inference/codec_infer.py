@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from rstnet_tpu.tools.scp_tools import read_scp
 from rstnet_tpu.utils.audio import read_wav, resample_linear, write_wav
 
 
@@ -53,12 +52,10 @@ def main(argv=None) -> int:
     os.makedirs(deg_dir, exist_ok=True)
     n = 0
     hop = model.hop_length * model.resample_stride
-    entries = read_scp(args.scp)
-    # the codec training scp convention is bare paths (one per line,
-    # base_dataloader.py:38-41); the utt+path convention also works
-    entries = [
-        (Path(k).stem, k) if not v else (k, v) for k, v in entries
-    ]
+    from rstnet_tpu.tools.offline_tokenization import _wav_entries
+
+    # bare-path or utt+path scp convention — one shared parser
+    entries = _wav_entries(args.scp)
     for utt, path in entries:
         wav, sr = read_wav(path)
         wav = resample_linear(wav[:1], sr, model.sample_rate)

@@ -84,6 +84,7 @@ def main(argv=None) -> None:
             if n >= args.max_examples:
                 break
             grid = tokens[b : b + 1]
+            true_len = int(batch["lengths"][b])
             T0 = min(args.prefix_frames, grid.shape[-1])
             forced = None
             if args.task == "tts":
@@ -96,6 +97,9 @@ def main(argv=None) -> None:
                     (1, grid.shape[1], grid.shape[2]), -1, np.int64
                 )
                 forced[:, 1:] = grid[:, 1:]  # audio rows teacher-forced
+            if forced is not None:
+                # never force bucket-padding frames past the true length
+                forced[:, :, true_len:] = -1
             key, sub = jax.random.split(key)
             out = inf.generate(
                 grid[:, :, :T0], args.max_new_frames, sub, forced=forced
@@ -104,7 +108,10 @@ def main(argv=None) -> None:
             utt = batch["example_ids"][b]
             np.save(Path(args.output_dir) / f"{utt}.npy", result)
             if detok is not None:
-                audio_codes = np.clip(result[1:], 0, cfg.audio_card - 1)
+                # clamp to REAL codec codes: the empty/pad specials (the top
+                # two ids of the audio vocab) are not codebook entries
+                bins = int(detok.model.quantizer.cardinality)
+                audio_codes = np.clip(result[1:], 0, bins - 1)
                 wav = detok.detokenize(audio_codes.astype(np.int32))
                 from rstnet_tpu.utils.audio import write_wav
 

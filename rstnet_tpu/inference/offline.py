@@ -35,6 +35,10 @@ class OfflineInference:
     use_sampling: bool = True
     audio_ignore_id: int = 2049
     text_ignore_id: int = 128003
+    # number of REAL codec codes: sampled audio ids are clamped below this
+    # (the reference's sample_token_audio bans the empty/pad specials that
+    # sit at the top of the audio vocabulary). None -> audio_card - 2.
+    codec_card: Optional[int] = None
 
     def __post_init__(self):
         self._forward = jax.jit(lambda p, s: self.model(p, s))
@@ -62,6 +66,10 @@ class OfflineInference:
             "ppl_text": float(jnp.exp(loss_text)),
             "acc_audio": float(m_audio["acc_all"]),
             "acc_text": float(m_text["acc_all"]),
+            # valid-token counts: corpus-level aggregation must weight
+            # batches by these, not average per-batch means
+            "n_audio_tokens": float(jnp.sum(masks[:, 1 : dep_q + 1])),
+            "n_text_tokens": float(jnp.sum(masks[:, 0:1])),
         }
 
     # -- prefix-conditioned generation ------------------------------------------
@@ -87,9 +95,15 @@ class OfflineInference:
         for cb in range(dep_q):
             logits, cf_state = model.step_codecformer(params, cf_state, cb, prev, hidden)
             key, k_cb = jax.random.split(key)
+            # ban the empty/pad specials at the top of the audio vocab —
+            # audio_card itself counts them, so clamping at audio_card
+            # would be a no-op (reference sample_token_audio, ban >= 2048)
+            max_card = self.codec_card
+            if max_card is None:
+                max_card = model.config.audio_card - 2
             tok = sample_token(
                 k_cb, logits[:, -1], self.use_sampling, self.temp, self.top_k,
-                max_card=model.config.audio_card,
+                max_card=max_card,
             )
             if teacher_force:
                 tok = jnp.where(forced_audio[:, cb] >= 0, forced_audio[:, cb], tok)
@@ -108,37 +122,53 @@ class OfflineInference:
         prefix_len: Optional[int] = None,
         forced: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        """Generate continuation of a [B, 1+dep_q, T0] prefix grid.
+        """Generate continuation of a [B, 1+n_q, T0] prefix grid.
 
-        ``forced`` (same shape as the output, -1 where free) enables partial
-        teacher forcing (e.g. TTS: text forced, audio generated — the
-        ``ungenerated_token_id`` mechanism of the reference). Returns
-        [B, 1+dep_q, T0 + max_new].
+        ``forced`` (-1 where free) enables partial teacher forcing (e.g.
+        TTS: text forced, audio generated — the ``ungenerated_token_id``
+        mechanism of the reference). Returns [B, 1+n_q, T0 + max_new]; for
+        duplex configs (n_q > dep_q) the extra user-stream rows are
+        teacher-forced from the prefix while it lasts and hold the initial
+        token afterwards.
         """
         model = self.model
+        cfg = model.config
         B, K, T0 = prefix.shape
+        dep_q = cfg.dep_q
+        n_gen = dep_q + 1  # rows the model generates (text + dep_q audio)
         prefix_len = prefix_len if prefix_len is not None else T0
         lm_state = model.init_state(B, dtype=jnp.float32)
-        frames = [np.asarray(prefix[:, :, :1])]
-        frame = jnp.asarray(model.initial_frame(B))
+        frames = []
+        frame = jnp.asarray(model.initial_frame(B))  # [B, 1+n_q, 1]
         no_force_t = jnp.full((B,), -1, jnp.int32)
-        no_force_a = jnp.full((B, model.config.dep_q), -1, jnp.int32)
+        no_force_a = jnp.full((B, dep_q), -1, jnp.int32)
+        initial = jnp.asarray(model.initial_frame(B))
         total = prefix_len + max_new
         for t in range(total):
             if t < prefix_len:
                 # teacher-force the whole frame from the prefix
                 f_text = jnp.asarray(prefix[:, 0, t])
-                f_audio = jnp.asarray(prefix[:, 1:, t])
+                f_audio = jnp.asarray(prefix[:, 1 : n_gen, t])
             elif forced is not None and t < forced.shape[-1]:
                 f_text = jnp.asarray(forced[:, 0, t])
-                f_audio = jnp.asarray(forced[:, 1:, t])
+                f_audio = jnp.asarray(forced[:, 1 : n_gen, t])
             else:
                 f_text, f_audio = no_force_t, no_force_a
             key, sub = jax.random.split(key)
-            next_frame, lm_state = self._step(
+            gen_frame, lm_state = self._step(
                 self.params, lm_state, frame, sub, f_text, f_audio, teacher_force=True
-            )
-            frame = next_frame
-            frames.append(np.asarray(frame))
-        out = np.concatenate(frames[1:], axis=2)  # drop the initial-token slot
+            )  # [B, 1+dep_q, 1]
+            if K > n_gen:
+                # duplex configs (n_q > dep_q): the extra rows are user
+                # streams — teacher-forced from the prefix while it lasts,
+                # the initial token afterwards (no user audio offline)
+                if t < prefix_len:
+                    user = jnp.asarray(prefix[:, n_gen:, t : t + 1])
+                else:
+                    user = initial[:, n_gen:, :]
+                frame = jnp.concatenate([gen_frame, user], axis=1)
+            else:
+                frame = gen_frame
+            frames.append(frame)  # device arrays; one host sync at the end
+        out = np.asarray(jnp.concatenate(frames, axis=2))
         return out[:, :, :total]

@@ -46,9 +46,12 @@ def _spec_for(path, leaf, mesh: Mesh) -> P:
 
     if ndim == 0:
         return P()
-    is_weight = keys and keys[-1] in ("weight", "A", "B") or keys[-1] in (
-        "input_emb", "codecformer_text_emb", "codecformer_emb", "codecformer_in", "wte",
-        "embedding_sum",
+    is_weight = bool(keys) and (
+        keys[-1] in ("weight", "A", "B")
+        or keys[-1] in (
+            "input_emb", "codecformer_text_emb", "codecformer_emb",
+            "codecformer_in", "wte", "embedding_sum",
+        )
     )
 
     # pipe axis: layer-stacked block params ([L, ...]) shard the layer axis
