@@ -90,10 +90,14 @@ class ServerState:
         return np.asarray(audio[0, 0]), text_token
 
 
+TEXT_SKIP_IDS = (0, 3)  # <unk>/<epad> and <pad> (reference server.py:138)
+
+
 async def _send_frame(ws, audio, text_token, text_tokenizer):
-    """Send one response frame: audio bytes + decoded (or raw) text token."""
+    """Send one response frame: audio bytes + decoded (or raw) text token.
+    Special text ids (padding/unk) are suppressed like the reference."""
     await ws.send_bytes(TAG_AUDIO + float_to_pcm16(audio))
-    if text_token is None:
+    if text_token is None or text_token in TEXT_SKIP_IDS:
         return
     if text_tokenizer is not None:
         text = text_tokenizer.decode([text_token])
