@@ -102,3 +102,26 @@ class TestTorchParity:
         np.testing.assert_allclose(
             np.asarray(logits_j), logits_t.reshape(2, 1, -1).numpy(), atol=1e-4
         )
+
+
+def test_moshi_lmgen_kv_int8():
+    """int8 ring-KV works on the StreamingTransformer family too: the
+    Moshi LMGen runs with quantized caches and stays close to exact."""
+    from rstnet_tpu.inference.generate import LMGen
+
+    m = MoshiLMModel(**SMALL)
+    params = m.init(jax.random.PRNGKey(0))
+    gen = LMGen(m, delays=m.delays, use_sampling=False)
+    gen8 = LMGen(m, delays=m.delays, use_sampling=False, kv_int8=True)
+    step = jax.jit(gen.step)
+    step8 = jax.jit(gen8.step)
+    key = jax.random.PRNGKey(2)
+    user = jnp.zeros((1, gen.num_user_streams, 1), jnp.int32)
+    s, s8 = gen.init_state(1, jnp.float32), gen8.init_state(1, jnp.float32)
+    assert s8["lm"]["kv"]["k"].dtype == jnp.int8
+    n_match = 0
+    for _ in range(8):
+        out, _, s = step(params, s, key, user)
+        out8, _, s8 = step8(params, s8, key, user)
+        n_match += int((np.asarray(out) == np.asarray(out8)).all())
+    assert n_match >= 6, f"only {n_match}/8 greedy frames matched exact KV"
