@@ -152,3 +152,22 @@ class TestTorchParity:
         np.testing.assert_allclose(
             np.asarray(jnp.concatenate(ys, axis=-1)), np.asarray(y), atol=2e-5
         )
+
+
+def test_offline_offset_preserves_causality():
+    """Offline __call__ with offset != 0: outputs must not depend on
+    future inputs (regression: pos_k lacked the offset, letting queries
+    attend up to `offset` steps into the future)."""
+    tr = StreamingTransformer(
+        d_model=16, num_heads=2, num_layers=2, dim_feedforward=32,
+        causal=True, context=8, positional_embedding="rope", norm="rms_norm_f32",
+        gating="silu",
+    )
+    params = tr.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16))
+    y = tr(params, x, offset=7)
+    x2 = x.at[:, 4:].set(0.0)  # perturb the future
+    y2 = tr(params, x2, offset=7)
+    np.testing.assert_allclose(
+        np.asarray(y[:, :4]), np.asarray(y2[:, :4]), rtol=1e-5, atol=1e-6
+    )
