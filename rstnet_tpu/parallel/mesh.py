@@ -56,9 +56,23 @@ def make_mesh(
     sizes = [shape.get(a, 1) for a in axes]
     if -1 in sizes:
         known = math.prod(s for s in sizes if s != -1)
-        assert n % known == 0, f"{n} devices not divisible by {known}"
+        if n % known != 0:
+            raise ValueError(
+                f"mesh shape {shape} needs a multiple of {known} devices but "
+                f"{n} are visible; adjust the shape or provision more devices "
+                f"(for CPU testing: XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count=<n> JAX_PLATFORMS=cpu before importing jax)"
+            )
         sizes[sizes.index(-1)] = n // known
-    assert math.prod(sizes) == n, f"mesh {dict(zip(axes, sizes))} != {n} devices"
+    if math.prod(sizes) != n:
+        raise ValueError(
+            f"mesh {dict(zip(axes, sizes))} covers {math.prod(sizes)} devices "
+            f"but {n} are visible ({[d.platform for d in devices[:4]]}...). "
+            f"Pass a shape whose product equals the device count, use -1 for "
+            f"one axis to absorb the remainder, or provision virtual devices "
+            f"with XLA_FLAGS=--xla_force_host_platform_device_count=<n> "
+            f"JAX_PLATFORMS=cpu before importing jax."
+        )
     dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, tuple(axes))
 
