@@ -10,6 +10,7 @@ shuffling iterator with background prefetch.
 
 from __future__ import annotations
 
+import math
 import random
 import threading
 import queue
@@ -85,32 +86,40 @@ class WaveDataset:
                 return None
         except Exception:  # noqa: BLE001
             return None
-        paths, starts = [], []
+        # Probe every header BEFORE consuming RNG draws, and restore the RNG
+        # state on any fallback: the per-item path must then re-draw the same
+        # crops (documented bit-equality between the two paths).
+        paths, lens = [], []
         for i in indices:
             path = self.file_list[i]
             info = native.wav_info(path)
             if info is None:
                 return None
             n, sr, _ = info
+            # length after resample; llround (half away from zero) to match
+            # the C++ loader's window computation exactly
             len_main = (
                 n if sr == self.sampling_rate
-                else int(round(n * self.sampling_rate / sr))
+                else int(math.floor(n * self.sampling_rate / sr + 0.5))
             )
-            if len_main >= self.segment_size:
-                # same RNG stream as the per-item path
-                start = self._rng.randint(0, len_main - self.segment_size)
-            else:
-                start = -1
             paths.append(path)
-            starts.append(start)
+            lens.append(len_main)
+        rng_state = self._rng.getstate()
+        starts = [
+            self._rng.randint(0, ln - self.segment_size)
+            if ln >= self.segment_size else -1
+            for ln in lens
+        ]
         res = native.load_codec_batch(
             paths, starts, self.segment_size, self.segment_16k,
             self.sampling_rate, self.semantic_sample_rate,
         )
         if res is None:
+            self._rng.setstate(rng_state)
             return None
         b24, b16, status = res
         if (status != 0).any():
+            self._rng.setstate(rng_state)
             return None
         if self.audio_norm_scale < 1.0:
             b24 = b24 * self.audio_norm_scale

@@ -37,7 +37,8 @@ class OfflineInference:
     text_ignore_id: int = 128003
     # number of REAL codec codes: sampled audio ids are clamped below this
     # (the reference's sample_token_audio bans the empty/pad specials that
-    # sit at the top of the audio vocabulary). None -> audio_card - 2.
+    # sit at the top of the audio vocabulary). None -> the model family's
+    # own ``codec_card`` (Moshi: card; SpeechTextLM: audio_card - 2).
     codec_card: Optional[int] = None
 
     def __post_init__(self):
@@ -95,12 +96,16 @@ class OfflineInference:
         for cb in range(dep_q):
             logits, cf_state = model.step_codecformer(params, cf_state, cb, prev, hidden)
             key, k_cb = jax.random.split(key)
-            # ban the empty/pad specials at the top of the audio vocab —
-            # audio_card itself counts them, so clamping at audio_card
-            # would be a no-op (reference sample_token_audio, ban >= 2048)
+            # ban any empty/pad specials inside the audio logits vocabulary
+            # (reference sample_token_audio, ban >= 2048). Each model family
+            # reports how many REAL codec codes its logits cover: Moshi
+            # logits span only real codes; the trainer-convention
+            # SpeechTextLM includes 2 specials at the top of audio_card.
             max_card = self.codec_card
             if max_card is None:
-                max_card = model.config.audio_card - 2
+                max_card = getattr(
+                    model, "codec_card", model.config.audio_card - 2
+                )
             tok = sample_token(
                 k_cb, logits[:, -1], self.use_sampling, self.temp, self.top_k,
                 max_card=max_card,

@@ -105,6 +105,13 @@ class SpeechTextLM:
         return self.config.audio_card
 
     @property
+    def codec_card(self) -> int:
+        # Trainer convention: audio_card counts the empty(card-2)/pad(card-1)
+        # specials, so the REAL codec codes are the first audio_card - 2 ids
+        # (reference sample_token_audio bans ids >= 2048).
+        return self.config.audio_card - 2
+
+    @property
     def text_initial_token_id(self) -> int:
         # Tokenizer-dependent reserved token (llama3: 128002, qwen: 151655).
         return getattr(self.config, "text_initial_id", None) or (

@@ -97,6 +97,13 @@ class MoshiLMModel:
         return self.card
 
     @property
+    def codec_card(self) -> int:
+        # Moshi audio logits span exactly ``card`` REAL codec codes — the
+        # empty/pad specials live outside the logits vocabulary (unlike the
+        # trainer-convention SpeechTextLM, whose audio_card counts them).
+        return self.card
+
+    @property
     def num_codebooks(self) -> int:
         return self.n_q + 1
 

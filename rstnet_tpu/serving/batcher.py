@@ -105,6 +105,10 @@ class SessionBatcher:
         self.key = jax.random.PRNGKey(int(time.time()))
         self.sessions: dict[int, Session] = {}
         self._free = list(range(B))
+        # per-slot generation counter: bumped on every acquire so frames
+        # computed for a previous occupant of the slot are never delivered
+        # to a new one (the device step runs concurrently with join/leave)
+        self._gen = [0] * B
         self._task: Optional[asyncio.Task] = None
         self.last_step_ms = 0.0
         # guards the streaming states: the device step runs in a worker
@@ -119,6 +123,7 @@ class SessionBatcher:
         if not self._free:
             return None
         slot = self._free.pop(0)
+        self._gen[slot] += 1
         with self._state_lock:
             self.enc_state = self.mimi.reset_encode_slots(self.enc_state, [slot])
             self.dec_state = self.mimi.reset_decode_slots(self.dec_state, [slot])
@@ -130,21 +135,31 @@ class SessionBatcher:
         return sess
 
     def release(self, sess: Session) -> None:
-        self.sessions.pop(sess.slot, None)
-        self._free.append(sess.slot)
+        # idempotent: the slot may already have been freed by _fail_sessions
+        # before the connection handler's finally runs
+        if self.sessions.get(sess.slot) is sess or (
+            sess.slot not in self.sessions and sess.slot not in self._free
+        ):
+            self.sessions.pop(sess.slot, None)
+            if sess.slot not in self._free:
+                self._free.append(sess.slot)
 
     # -- the frame clock ----------------------------------------------------
 
-    def _gather_inputs(self) -> np.ndarray:
+    def _gather_inputs(self) -> tuple[np.ndarray, dict[int, int]]:
         """Pull one frame per active session (event-loop thread only:
-        asyncio queues are not thread-safe)."""
+        asyncio queues are not thread-safe). Also snapshots each active
+        slot's generation so _distribute can drop frames whose slot was
+        re-acquired while the device step was in flight."""
         pcm = np.zeros((self.max_sessions, 1, self.frame_size), np.float32)
+        snapshot: dict[int, int] = {}
         for slot, sess in list(self.sessions.items()):
+            snapshot[slot] = self._gen[slot]
             try:
                 pcm[slot, 0] = sess.inputs.get_nowait()
             except asyncio.QueueEmpty:
                 pass  # silence keeps the duplex clock running
-        return pcm
+        return pcm, snapshot
 
     def _device_step(self, pcm: np.ndarray):
         """The batched device round-trip (safe to run in a worker thread)."""
@@ -179,9 +194,16 @@ class SessionBatcher:
             self.dec_age += valid_np.astype(np.int32)
         return audio_np, out_np, valid_np
 
-    def _distribute(self, audio_np, out_np, valid_np) -> None:
-        """Route outputs to session queues (event-loop thread only)."""
+    def _distribute(self, snapshot: dict[int, int], audio_np, out_np, valid_np) -> None:
+        """Route outputs to session queues (event-loop thread only).
+
+        ``snapshot`` maps slot -> generation at input-gather time; a frame is
+        delivered only to the SAME occupant it was computed for — a slot
+        released and re-acquired mid-step must not hear one frame of the
+        previous conversation."""
         for slot, sess in list(self.sessions.items()):
+            if snapshot.get(slot) != self._gen[slot]:
+                continue
             if not valid_np[slot]:
                 continue
             try:
@@ -193,7 +215,21 @@ class SessionBatcher:
         """One batched frame across all active sessions (synchronous)."""
         if not self.sessions:
             return
-        self._distribute(*self._device_step(self._gather_inputs()))
+        pcm, snapshot = self._gather_inputs()
+        self._distribute(snapshot, *self._device_step(pcm))
+
+    def _fail_sessions(self, exc: BaseException) -> None:
+        """Terminate every active session after a step failure so clients
+        see the error instead of a silently frozen stream."""
+        for slot, sess in list(self.sessions.items()):
+            try:
+                sess.outputs.put_nowait(None)  # sentinel: stream closed
+            except asyncio.QueueFull:
+                pass  # consumer is alive; it will fail on the next get
+            self.sessions.pop(slot, None)
+            if slot not in self._free:
+                self._free.append(slot)
+        logging.error("batched frame step failed; closed all sessions: %r", exc)
 
     async def run(self) -> None:
         """The 80 ms frame clock. Start once per server.
@@ -207,9 +243,18 @@ class SessionBatcher:
         while True:
             next_tick += FRAME_SECONDS
             if self.sessions:
-                pcm = self._gather_inputs()
-                result = await loop.run_in_executor(None, self._device_step, pcm)
-                self._distribute(*result)
+                try:
+                    pcm, snapshot = self._gather_inputs()
+                    result = await loop.run_in_executor(
+                        None, self._device_step, pcm
+                    )
+                    self._distribute(snapshot, *result)
+                except asyncio.CancelledError:
+                    raise
+                except Exception as e:  # noqa: BLE001 - clock must survive
+                    # close current sessions (their streams are broken) but
+                    # keep ticking: new sessions reset their slots on join
+                    self._fail_sessions(e)
                 if self.last_step_ms > FRAME_SECONDS * 1000:
                     logging.warning(
                         "frame step %.1f ms exceeds the %.0f ms budget",

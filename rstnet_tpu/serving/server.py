@@ -124,7 +124,12 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
     async def pump_outputs():
         try:
             while True:
-                audio, text_token = await sess.outputs.get()
+                item = await sess.outputs.get()
+                if item is None:  # batcher failed the session: close loudly
+                    logging.error("slot %d terminated by a step failure", sess.slot)
+                    await ws.close(code=1011, message=b"server step failed")
+                    return
+                audio, text_token = item
                 await _send_frame(ws, audio, text_token, text_tokenizer)
         except asyncio.CancelledError:
             raise

@@ -187,3 +187,76 @@ def test_batched_audio_matches_solo_with_delays():
     assert len(got) == len(solo_audio)
     for g, w in zip(got, solo_audio):
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
+def _tiny_batcher(max_sessions=2):
+    from rstnet_tpu.serving.batcher import SessionBatcher
+
+    mimi = tiny_mimi()
+    mimi_params = mimi.init(jax.random.PRNGKey(0))
+    lm = MoshiLMModel(
+        delays=(0,) * 9, n_q=8, dep_q=4, card=16, text_card=64, dim=32,
+        num_heads=4, num_layers=2, hidden_scale=4.0, norm="rms_norm_f32",
+        gating="silu", positional_embedding="rope", context=16,
+        existing_text_padding_id=3, depformer_dim=16,
+        depformer_dim_feedforward=32, depformer_num_heads=2,
+        depformer_num_layers=1, depformer_multi_linear=True,
+        depformer_weights_per_step=True, depformer_pos_emb="none",
+    )
+    lm_params = lm.init(jax.random.PRNGKey(1))
+    return SessionBatcher(
+        mimi, mimi_params, LMGen(lm, delays=lm.delays), lm_params,
+        max_sessions=max_sessions, dtype=jnp.float32,
+    )
+
+
+def test_batcher_slot_reacquire_drops_inflight_frame():
+    """A frame computed for a released slot must NOT be delivered to a new
+    session that re-acquired the slot while the step was in flight."""
+
+    async def run():
+        batcher = _tiny_batcher(max_sessions=1)
+        sess_a = batcher.acquire()
+        slot = sess_a.slot
+        pcm, snapshot = batcher._gather_inputs()
+        # simulate join/leave racing the in-flight device step
+        batcher.release(sess_a)
+        sess_b = batcher.acquire()
+        assert sess_b.slot == slot  # same physical slot, new occupant
+        audio = np.zeros((batcher.max_sessions, 1, batcher.frame_size), np.float32)
+        out = np.zeros((batcher.max_sessions, 9, 1), np.int32)
+        valid = np.ones((batcher.max_sessions,), bool)
+        batcher._distribute(snapshot, audio, out, valid)
+        assert sess_b.outputs.empty(), "stale frame leaked into a new session"
+        # control: a fresh snapshot for the current occupant does deliver
+        _, snap2 = batcher._gather_inputs()
+        batcher._distribute(snap2, audio, out, valid)
+        assert sess_b.outputs.qsize() == 1
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_batcher_step_failure_closes_sessions_and_keeps_clock():
+    """A device-step failure must close active sessions with a sentinel (not
+    freeze their streams) and leave the batcher usable for new sessions."""
+
+    async def run():
+        batcher = _tiny_batcher()
+        batcher.warmup()
+        sess = batcher.acquire()
+        batcher._device_step = lambda pcm: (_ for _ in ()).throw(
+            RuntimeError("injected device failure")
+        )
+        task = asyncio.get_running_loop().create_task(batcher.run())
+        try:
+            sentinel = await asyncio.wait_for(sess.outputs.get(), timeout=10)
+            assert sentinel is None
+            assert not batcher.sessions
+            # release after the failure already freed the slot: idempotent
+            batcher.release(sess)
+            assert sorted(batcher._free) == [0, 1]
+            assert batcher.acquire() is not None  # clock survives
+        finally:
+            task.cancel()
+
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
