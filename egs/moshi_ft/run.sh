@@ -13,8 +13,22 @@ mimi_ckpt=${mimi_ckpt:-}
 nj=${nj:-8}
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
-  echo "== stage 1: VAD + enhancement + segmentation =="
-  python -m rstnet_tpu.pipeline.main --scp "$raw_scp" --out_dir "$data_root/segments"
+  echo "== stage 1: diarization + VAD + enhancement + segmentation =="
+  mkdir -p "$data_root"
+  # conversational prep: speaker turns (pyannote when installed), denoise
+  # (DeepFilterNet when installed), super-resolution to 24 kHz, and duplex
+  # session packing for the 17-stream format
+  cat > "$data_root/pipeline.json" <<'EOF'
+{
+  "use_diarization": true,
+  "use_denoise": true,
+  "use_super_resolution": true,
+  "merge_sessions": true,
+  "session_chunk_s": 60.0
+}
+EOF
+  python -m rstnet_tpu.pipeline.main --scp "$raw_scp" \
+      --out_dir "$data_root/segments" --config "$data_root/pipeline.json"
 fi
 
 if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then

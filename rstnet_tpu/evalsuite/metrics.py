@@ -161,12 +161,23 @@ def visqol_score(ref_path: str, deg_path: str, binary: str = "visqol"):
     return None
 
 
-def dnsmos_score(deg: np.ndarray, sr: int = 16000, model_path: str = ""):
-    """DNSMOS ONNX model wrapper (compute_dnsmos.sh); None if unavailable."""
+def dnsmos_score(
+    deg: np.ndarray, sr: int = 16000, model_path: str = "", session=None,
+):
+    """DNSMOS OVRL score (compute_dnsmos.sh); None if the model (and
+    onnxruntime) are unavailable. ``session`` injects a prebuilt/stub ONNX
+    session for testing."""
+    from rstnet_tpu.pipeline.onnx_models import DNSMOS
+
+    if session is None:
+        if not model_path:
+            return None
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError:
+            return None
     try:
-        import onnxruntime  # noqa: F401
-    except ImportError:
+        model = DNSMOS(model_path=model_path, session=session)
+    except RuntimeError:
         return None
-    if not model_path:
-        return None
-    raise NotImplementedError("provide the DNSMOS onnx model path")
+    return float(model.score(deg, sr)["OVRL"])

@@ -38,22 +38,37 @@ def whisperx_transcribe(
     return {"segments": aligned["segments"], "duration": len(audio) / 16000}
 
 
-def separate_vocals(wav: np.ndarray, sr: int) -> np.ndarray:
-    """UVR-MDX vocal separation; passthrough with a warning when absent."""
-    try:
-        import onnxruntime  # noqa: F401
-    except ImportError:
-        logging.warning("onnxruntime not available: skipping source separation")
+def separate_vocals(
+    wav: np.ndarray, sr: int, model_path: str = "", session=None,
+) -> np.ndarray:
+    """UVR-MDX vocal separation (reference ``emilia/models/separate_fast.py``).
+
+    Runs a real ONNX session when a model path (or injected session) is
+    given and onnxruntime is importable; passthrough with a warning when the
+    model is absent — an in-the-wild pipeline must degrade, not fail."""
+    if session is None and not model_path:
+        logging.warning("no UVR-MDX model configured: skipping source separation")
         return wav
-    raise RuntimeError("provide a UVR-MDX onnx checkpoint for separation")
+    try:
+        from rstnet_tpu.pipeline.onnx_models import MDXSeparator
+
+        sep = MDXSeparator(model_path=model_path, session=session)
+        vocals, _ = sep.separate(wav, sr)
+        return vocals.astype(np.float32)
+    except RuntimeError as e:
+        logging.warning(f"source separation unavailable ({e}); passthrough")
+        return wav
 
 
-def dnsmos_filter(wav: np.ndarray, sr: int, threshold: float = 3.0) -> bool:
+def dnsmos_filter(
+    wav: np.ndarray, sr: int, threshold: float = 3.0, model_path: str = "",
+    session=None,
+) -> bool:
     """True if the clip passes the DNSMOS quality bar; permissive when the
     DNSMOS model is unavailable (reference behavior is to require it)."""
     from rstnet_tpu.evalsuite.metrics import dnsmos_score
 
-    score = dnsmos_score(wav, sr)
+    score = dnsmos_score(wav, sr, model_path=model_path, session=session)
     if score is None:
         logging.warning("DNSMOS unavailable: keeping clip unfiltered")
         return True

@@ -22,6 +22,18 @@ import jax  # noqa: E402
 # always run on the 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (every test
+# jits tiny models), so caching compiled executables across runs cuts the
+# wall time from ~tens of minutes to a few. Safe on CPU; keyed on HLO +
+# compile options, so geometry changes simply miss the cache.
+_CACHE_DIR = os.environ.get(
+    "RSTNET_JAX_CACHE", os.path.expanduser("~/.cache/rstnet_jax_cache")
+)
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 
