@@ -28,9 +28,24 @@ SAMPLE_RATE = 24000
 FRAME_SIZE = 1920
 
 
+async def _negotiate(ws, codec: str):
+    """Send the codec handshake; return the transport for the accepted
+    codec (reference clients negotiate Opus framing, ``client.py:60-120``)."""
+    import json
+
+    from rstnet_tpu.serving import opus
+
+    if codec == "legacy":  # pre-handshake wire format: raw PCM16
+        return opus.Pcm16Transport()
+    await ws.send_str(json.dumps({"codec": codec}))
+    reply = await ws.receive_str()
+    accepted = json.loads(reply).get("codec", "pcm16")
+    return opus.make_transport(accepted)
+
+
 async def stream_file(
     url: str, in_wav: str, out_wav: Optional[str] = None,
-    drain_timeout: float = 30.0,
+    drain_timeout: float = 30.0, codec: str = "opus",
 ) -> tuple[np.ndarray, str]:
     """Send a wav file frame-by-frame; return (response audio, text).
 
@@ -51,10 +66,12 @@ async def stream_file(
     drained = asyncio.Event()
     async with aiohttp.ClientSession() as session:
         async with session.ws_connect(url) as ws:
+            transport = await _negotiate(ws, codec)
+
             async def sender():
                 for off in range(0, len(wav), FRAME_SIZE):
                     frame = wav[off : off + FRAME_SIZE]
-                    await ws.send_bytes(TAG_AUDIO + float_to_pcm16(frame))
+                    await ws.send_bytes(TAG_AUDIO + transport.pack(frame))
                     await asyncio.sleep(0)  # yield; real-time pacing optional
                 # drain: all frames answered, 1 s of silence (the server owes
                 # fewer than n_frames when the model has delays), or timeout
@@ -73,9 +90,11 @@ async def stream_file(
 
             async def receiver():
                 async for msg in ws:
+                    if not isinstance(msg.data, (bytes, bytearray)):
+                        continue
                     data = bytes(msg.data)
                     if data[:1] == TAG_AUDIO:
-                        out_audio.append(pcm16_to_float(data[1:]))
+                        out_audio.append(transport.unpack(data[1:]))
                         if len(out_audio) >= n_frames:
                             drained.set()
                     elif data[:1] == TAG_TEXT:
@@ -89,7 +108,8 @@ async def stream_file(
 
 
 async def load_test(
-    url: str, sessions: int, seconds: float = 4.0, real_time: bool = True
+    url: str, sessions: int, seconds: float = 4.0, real_time: bool = True,
+    codec: str = "pcm16",
 ) -> list[dict]:
     """Drive N concurrent duplex sessions against a ``--batch`` server.
 
@@ -111,13 +131,14 @@ async def load_test(
                  "first_frame_ms": None}
         async with aiohttp.ClientSession() as session:
             async with session.ws_connect(url) as ws:
+                transport = await _negotiate(ws, codec)
                 t0 = _time.perf_counter()
                 done = asyncio.Event()
 
                 async def sender():
                     for off in range(0, len(wav), FRAME_SIZE):
                         await ws.send_bytes(
-                            TAG_AUDIO + float_to_pcm16(wav[off : off + FRAME_SIZE])
+                            TAG_AUDIO + transport.pack(wav[off : off + FRAME_SIZE])
                         )
                         if real_time:
                             await asyncio.sleep(0.08)
@@ -202,13 +223,21 @@ def main(argv=None):
         help="load-test mode: N concurrent synthetic sessions",
     )
     parser.add_argument("--seconds", type=float, default=4.0)
+    parser.add_argument(
+        "--codec", default="opus", choices=["opus", "pcm16", "legacy"],
+        help="wire codec offer (server falls back to pcm16 without libopus)",
+    )
     args = parser.parse_args(argv)
     if args.sessions:
-        stats = asyncio.run(load_test(args.url, args.sessions, args.seconds))
+        stats = asyncio.run(
+            load_test(args.url, args.sessions, args.seconds, codec=args.codec)
+        )
         for s in stats:
             print(s)
     elif args.in_wav:
-        audio, text = asyncio.run(stream_file(args.url, args.in_wav, args.out_wav))
+        audio, text = asyncio.run(
+            stream_file(args.url, args.in_wav, args.out_wav, codec=args.codec)
+        )
         print(f"received {len(audio)} samples; text: {text}")
     else:
         asyncio.run(stream_microphone(args.url))

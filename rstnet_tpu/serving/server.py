@@ -7,14 +7,16 @@ audio bytes in -> codec encode -> LM frame step -> codec decode -> audio
 bytes out + text tokens. One connection at a time (per-connection lock,
 streaming state reset), matching the reference.
 
-Framing: 16-bit PCM little-endian frames of exactly 1920 samples (80 ms at
-24 kHz). The reference frames audio as Opus over the same socket
-(``sphn.OpusStreamWriter``); here PCM16 keeps the wire format
-dependency-free — at 24 kHz mono it is 48 kB/s per direction, fine for the
-LAN/loopback serving this targets, and an Opus transport can be layered at
-the edge without touching the frame loop. Message protocol (mirrors the
-reference's 1-byte tags): ``b"\\x01" + audio`` for audio, ``b"\\x02" + utf8``
-for text.
+Framing: the first TEXT message of a connection is a JSON codec handshake
+(``{"codec": "opus"|"pcm16"}``); the server answers with the accepted codec
+— Opus via the ctypes libopus transport (``serving/opus.py``, ~310 B per
+80 ms frame, parity with the reference's ``sphn.OpusStreamWriter`` framing
+at ``moshi/server.py:80-136``) when libopus is present, PCM16 (16-bit LE,
+1920 samples = 80 ms at 24 kHz) otherwise. A connection that opens with a
+binary frame skips the handshake and speaks legacy PCM16. Message protocol
+(mirrors the reference's 1-byte tags): ``b"\\x01" + audio`` for audio,
+``b"\\x02" + utf8`` for text. A minimal web client is served at ``/``
+(reference ``server.py:183-205``).
 
 TPU notes: the whole per-frame compute (encode step + LM step + decode step)
 is three jitted calls with fixed shapes; one small host<->device transfer
@@ -35,10 +37,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from rstnet_tpu.inference.generate import LMGen
-from rstnet_tpu.utils.audio import float_to_pcm16, pcm16_to_float
+from rstnet_tpu.serving import opus
+from rstnet_tpu.utils.audio import float_to_pcm16, pcm16_to_float  # noqa: F401
 
 TAG_AUDIO = b"\x01"
 TAG_TEXT = b"\x02"
+
+
+def _handshake_reply(raw: str, frame_size: int) -> tuple[object, str]:
+    """Negotiate the audio codec from the client's JSON offer; returns
+    (transport, reply json)."""
+    import json
+
+    try:
+        offer = json.loads(raw).get("codec", "pcm16")
+    except (ValueError, AttributeError):
+        offer = "pcm16"
+    codec = opus.negotiate(offer, frame_size)
+    return opus.make_transport(codec), json.dumps({"codec": codec})
 
 
 @dataclass
@@ -93,10 +109,12 @@ class ServerState:
 TEXT_SKIP_IDS = (0, 3)  # <unk>/<epad> and <pad> (reference server.py:138)
 
 
-async def _send_frame(ws, audio, text_token, text_tokenizer):
+async def _send_frame(ws, audio, text_token, text_tokenizer, transport=None):
     """Send one response frame: audio bytes + decoded (or raw) text token.
     Special text ids (padding/unk) are suppressed like the reference."""
-    await ws.send_bytes(TAG_AUDIO + float_to_pcm16(audio))
+    if transport is None:
+        transport = opus.Pcm16Transport()
+    await ws.send_bytes(TAG_AUDIO + transport.pack(audio))
     if text_token is None or text_token in TEXT_SKIP_IDS:
         return
     if text_tokenizer is not None:
@@ -120,6 +138,9 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
         await ws.close(code=1013, message=b"server full")
         return ws
     logging.info("chat session started (slot %d)", sess.slot)
+    # transport is set by the handshake (or defaulted on first binary frame)
+    # before any input reaches the batcher, hence before any output exists
+    holder = {"transport": None}
 
     async def pump_outputs():
         try:
@@ -130,7 +151,9 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
                     await ws.close(code=1011, message=b"server step failed")
                     return
                 audio, text_token = item
-                await _send_frame(ws, audio, text_token, text_tokenizer)
+                await _send_frame(
+                    ws, audio, text_token, text_tokenizer, holder["transport"]
+                )
         except asyncio.CancelledError:
             raise
         except Exception as e:  # noqa: BLE001 - a dead client must free the slot
@@ -142,12 +165,20 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
         buffered = np.zeros((0,), np.float32)
         frame_size = batcher.frame_size
         async for msg in ws:
+            if msg.type == WSMsgType.TEXT and holder["transport"] is None:
+                holder["transport"], reply = _handshake_reply(msg.data, frame_size)
+                await ws.send_str(reply)
+                continue
             if msg.type != WSMsgType.BINARY:
                 continue
             data = bytes(msg.data)
             if not data or data[0:1] != TAG_AUDIO:
                 continue
-            buffered = np.concatenate([buffered, pcm16_to_float(data[1:])])
+            if holder["transport"] is None:  # legacy client: PCM16, no handshake
+                holder["transport"] = opus.Pcm16Transport()
+            buffered = np.concatenate(
+                [buffered, holder["transport"].unpack(data[1:])]
+            )
             while buffered.shape[0] >= frame_size:
                 frame, buffered = buffered[:frame_size], buffered[frame_size:]
                 await sess.inputs.put(frame)
@@ -168,13 +199,20 @@ async def handle_chat(state: ServerState, request):
         state.reset()
         logging.info("chat session started")
         buffered = np.zeros((0,), np.float32)
+        transport = None
         async for msg in ws:
+            if msg.type == WSMsgType.TEXT and transport is None:
+                transport, reply = _handshake_reply(msg.data, state.frame_size)
+                await ws.send_str(reply)
+                continue
             if msg.type != WSMsgType.BINARY:
                 continue
             data = bytes(msg.data)
             if not data or data[0:1] != TAG_AUDIO:
                 continue
-            buffered = np.concatenate([buffered, pcm16_to_float(data[1:])])
+            if transport is None:  # legacy client: PCM16, no handshake
+                transport = opus.Pcm16Transport()
+            buffered = np.concatenate([buffered, transport.unpack(data[1:])])
             while buffered.shape[0] >= state.frame_size:
                 frame, buffered = (
                     buffered[: state.frame_size],
@@ -185,15 +223,29 @@ async def handle_chat(state: ServerState, request):
                 ms = (time.perf_counter() - t0) * 1000
                 logging.info(f"frame handled in {ms:.1f} ms")
                 if audio is not None:
-                    await _send_frame(ws, audio, text_token, state.text_tokenizer)
+                    await _send_frame(
+                        ws, audio, text_token, state.text_tokenizer, transport
+                    )
         logging.info("chat session ended")
     return ws
+
+
+async def handle_index(request):
+    """Minimal browser client (reference serves a static web UI,
+    ``moshi/server.py:183-205``)."""
+    import os
+
+    from aiohttp import web
+
+    path = os.path.join(os.path.dirname(__file__), "static", "index.html")
+    return web.FileResponse(path)
 
 
 def build_app(state: ServerState):
     from aiohttp import web
 
     app = web.Application()
+    app.router.add_get("/", handle_index)
     app.router.add_get("/api/chat", lambda req: handle_chat(state, req))
     return app
 
@@ -204,6 +256,7 @@ def build_batched_app(batcher, text_tokenizer=None):
     from aiohttp import web
 
     app = web.Application()
+    app.router.add_get("/", handle_index)
     app.router.add_get(
         "/api/chat", lambda req: handle_chat_batched(batcher, text_tokenizer, req)
     )
