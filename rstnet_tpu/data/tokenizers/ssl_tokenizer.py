@@ -1,42 +1,50 @@
-"""GLM-4-Voice semantic (WhisperVQ) tokenizer adapter.
+"""GLM-4-Voice semantic (WhisperVQ) tokenizer.
 
 Capability parity with ``MLLM_v2/tools/tokenizer/GLM4V/semantic.py``
 (SSLTokenizer:18, tokenize:92, detokenize:143): a 16 kHz single-codebook
-semantic tokenizer built on a WhisperVQ encoder, with CosyVoice-flow +
-HiFT vocoding for detokenization. The reference vendors ~22.7k lines of
-GLM-4-Voice/CosyVoice/Matcha code around external checkpoints; here the
-adapter activates when ``transformers`` can load the GLM-4-Voice tokenizer
-checkpoint (data-prep host), and detokenization requires the external
-CosyVoice stack — both gated with clear errors, as these run offline at
-data-prep time, never on the TPU path.
+12.5 Hz semantic tokenizer. The model itself — whisper encoder + pooled VQ
+token harvest — is the in-repo JAX :class:`WhisperVQEncoder`
+(``models/whisper_vq.py``), loaded from the GLM-4-Voice tokenizer
+checkpoint layout; audio is processed in 30 s chunks padded to the token
+stride, and tokens are harvested under the downsampled attention mask,
+matching the reference's framing. Detokenization requires the external
+CosyVoice flow + HiFT stack and stays a gated adapter.
 """
 
 from __future__ import annotations
 
-import logging
 from typing import Optional
 
 import numpy as np
 
 from rstnet_tpu.data.tokenizers.abs_tokenizer import AbsTokenizer
 
+CHUNK_SECONDS = 30
+SR = 16000
+
 
 class SSLTokenizer(AbsTokenizer):
     """audio -> 12.5 Hz semantic token ids (single codebook)."""
 
-    def __init__(self, checkpoint: str = "THUDM/glm-4-voice-tokenizer"):
-        try:
-            import torch
-            from transformers import WhisperFeatureExtractor, WhisperModel  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError("SSLTokenizer needs torch+transformers on the prep host") from e
-        import torch
-        from transformers import AutoFeatureExtractor, AutoModel
+    def __init__(self, checkpoint: str = "", model=None, params=None):
+        import jax
 
-        self.torch = torch
-        self.extractor = AutoFeatureExtractor.from_pretrained(checkpoint)
-        self.model = AutoModel.from_pretrained(checkpoint, trust_remote_code=True).eval()
-        self.sr = 16000
+        if model is None or params is None:
+            if not checkpoint:
+                raise RuntimeError(
+                    "SSLTokenizer needs the GLM-4-Voice tokenizer checkpoint "
+                    "directory (or an explicit model+params)"
+                )
+            from rstnet_tpu.models.whisper_vq import load_glm4v_encoder
+
+            model, params = load_glm4v_encoder(checkpoint)
+        self.model = model
+        self.params = params
+        self.sr = SR
+        cfg = model.config
+        # samples per token: conv2 stride (2) x pooling x mel hop (160)
+        self.stride = 2 * cfg.pooling_kernel_size * 160
+        self._encode = jax.jit(model.encode)
 
     @property
     def is_discrete(self) -> bool:
@@ -46,29 +54,33 @@ class SSLTokenizer(AbsTokenizer):
         return int(np.shape(x)[-1])
 
     def tokenize(self, wav: np.ndarray, sample_rate: Optional[int] = None) -> np.ndarray:
-        """16 kHz mono waveform -> [T] int tokens (30 s chunks, pooled)."""
-        torch = self.torch
+        """mono waveform -> [T] int32 tokens (30 s chunks, mask-harvested)."""
+        from rstnet_tpu.models.whisper_vq import log_mel_spectrogram
+
+        wav = np.asarray(wav, np.float32).reshape(-1)
         if sample_rate is not None and sample_rate != self.sr:
             from rstnet_tpu.utils.audio import resample_linear
 
-            wav = resample_linear(np.atleast_2d(wav), sample_rate, self.sr)[0]
+            wav = resample_linear(wav[None], sample_rate, self.sr)[0]
+        cfg = self.model.config
+        pool = cfg.pooling_kernel_size
+        chunk = self.sr * CHUNK_SECONDS
         tokens = []
-        chunk = self.sr * 30
-        with torch.no_grad():
-            for off in range(0, len(wav), chunk):
-                seg = wav[off : off + chunk]
-                feats = self.extractor(
-                    seg, sampling_rate=self.sr, return_tensors="pt"
-                ).input_features
-                out = self.model(input_features=feats)
-                ids = getattr(out, "quantized_token_ids", None)
-                if ids is None:
-                    raise RuntimeError(
-                        "checkpoint does not expose quantized_token_ids; use the "
-                        "GLM-4-Voice tokenizer checkpoint"
-                    )
-                n_valid = int(np.ceil(len(seg) / self.sr * 12.5))
-                tokens.append(ids[0, :n_valid].cpu().numpy())
+        for off in range(0, len(wav), chunk):
+            seg = wav[off : off + chunk]
+            # pad the raw audio to a whole number of tokens (reference pads
+            # features with pad_to_multiple_of=stride)
+            pad = (-len(seg)) % self.stride
+            n_valid_mel = len(seg) // 160
+            seg = np.pad(seg, (0, pad))
+            mel = log_mel_spectrogram(seg, cfg.n_mels)  # [n_mels, frames]
+            n_mel = mel.shape[1]
+            mask = (np.arange(n_mel) < n_valid_mel).astype(np.float32)[None]
+            ids, tok_mask = self._encode(self.params, mel[None], mask)
+            ids, tok_mask = np.asarray(ids[0]), np.asarray(tok_mask[0]) > 0.5
+            tokens.append(ids[tok_mask])
+        if not tokens:
+            return np.zeros((0,), np.int32)
         return np.concatenate(tokens).astype(np.int32)
 
     def detokenize(self, tokens: np.ndarray) -> np.ndarray:  # pragma: no cover
