@@ -187,8 +187,11 @@ class SessionBatcher:
             audio, self.dec_state = self._decode_step(
                 self.mimi_params, self.dec_state, codes_out, jnp.asarray(self.dec_age)
             )
-            audio_np = np.asarray(audio)
-            out_np = np.asarray(out)
+            # ONE batched fetch: on a tunneled device every separate
+            # np.asarray pays a full host<->device round trip (~29 ms on
+            # axon), so fetching audio and tokens together halves the
+            # per-frame transfer cost
+            audio_np, out_np = jax.device_get((audio, out))
             self.last_step_ms = (time.perf_counter() - t0) * 1000.0
             self.age += 1
             self.dec_age += valid_np.astype(np.int32)

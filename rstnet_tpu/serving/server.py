@@ -79,6 +79,7 @@ class ServerState:
         self.dec_state = self.mimi.init_decode_state(1)
         self.lm_state = self.lm_gen.init_state(1, dtype=jnp.float32)
         self.key = jax.random.PRNGKey(int(time.time()))
+        self.steps = 0  # completed frames; validity is deterministic from it
 
     def warmup(self, n_frames: int = 4) -> None:
         """Compile + steady-state the three jitted steps
@@ -90,20 +91,27 @@ class ServerState:
 
     def handle_frame_array(self, pcm: np.ndarray) -> tuple[Optional[np.ndarray], Optional[int]]:
         """One 80 ms frame: float samples in -> (float samples out | None,
-        text token | None)."""
+        text token | None).
+
+        Exactly ONE host<->device fetch per frame: validity is deterministic
+        from the frame counter (LMGen: valid = age > max_delay), so warmup
+        frames dispatch without any readback, and valid frames fetch
+        (audio, tokens) in a single batched ``jax.device_get`` — on a
+        tunneled device every separate fetch costs a full round trip."""
         assert pcm.shape[-1] == self.frame_size
         chunk = jnp.asarray(pcm, jnp.float32).reshape(1, 1, -1)
         codes, self.enc_state = self._encode_step(self.mimi_params, self.enc_state, chunk)
         user_streams = self.lm_gen.num_user_streams
         self.key, sub = jax.random.split(self.key)
         user = codes[:, :user_streams, :] if user_streams else None
-        out, valid, self.lm_state = self._lm_step(self.lm_params, self.lm_state, sub, user)
-        if not bool(valid):
-            return None, None
-        text_token = int(out[0, 0, 0])
+        out, _, self.lm_state = self._lm_step(self.lm_params, self.lm_state, sub, user)
+        self.steps += 1
+        if self.steps <= self.lm_gen.max_delay:
+            return None, None  # warmup frame: nothing to emit, no readback
         audio_codes = out[:, 1:, :]
         audio, self.dec_state = self._decode_step(self.mimi_params, self.dec_state, audio_codes)
-        return np.asarray(audio[0, 0]), text_token
+        audio_np, out_np = jax.device_get((audio, out))
+        return audio_np[0, 0], int(out_np[0, 0, 0])
 
 
 TEXT_SKIP_IDS = (0, 3)  # <unk>/<epad> and <pad> (reference server.py:138)

@@ -53,6 +53,25 @@ def tokenize_audio_scp(scp: str, out: str, checkpoint: str = "") -> int:
     return len(data)
 
 
+def tokenize_ssl_scp(scp: str, out: str, checkpoint: str) -> int:
+    """wav.scp -> 12.5 Hz WhisperVQ semantic tokens (reference
+    ``offline_codec_tokenization.py`` tokenizer=ssl, :50-62)."""
+    from rstnet_tpu.data.tokenizers.ssl_tokenizer import SSLTokenizer
+
+    tok = SSLTokenizer(checkpoint=checkpoint)
+    data = {}
+    for utt, path in _wav_entries(scp):
+        try:
+            wav, sr = read_wav(path)
+        except Exception as e:  # noqa: BLE001
+            logging.warning(f"skipping {utt}: {e}")
+            continue
+        data[utt] = tok.tokenize(wav[0], sr)[None]  # [1, T] single codebook
+    _ensure_parent(out)
+    np.savez(out, **data)
+    return len(data)
+
+
 def tokenize_text_scp(scp: str, out: str, tokenizer_dir: str) -> int:
     from rstnet_tpu.data.tokenizers.text_tokenizer import TextTokenizer
 
@@ -86,13 +105,17 @@ def main(argv=None) -> None:
     parser.add_argument("--scp", required=True)
     parser.add_argument("--output", required=True, help=".npz shard")
     parser.add_argument("--mode", default="audio",
-                        choices=["audio", "text", "aligned_text"])
+                        choices=["audio", "ssl", "text", "aligned_text"])
     parser.add_argument("--mimi-checkpoint", default="")
+    parser.add_argument("--ssl-checkpoint", default="",
+                        help="GLM-4-Voice tokenizer checkpoint dir (mode=ssl)")
     parser.add_argument("--tokenizer-dir", default="")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO, force=True)
     if args.mode == "audio":
         n = tokenize_audio_scp(args.scp, args.output, args.mimi_checkpoint)
+    elif args.mode == "ssl":
+        n = tokenize_ssl_scp(args.scp, args.output, args.ssl_checkpoint)
     elif args.mode == "text":
         n = tokenize_text_scp(args.scp, args.output, args.tokenizer_dir)
     else:

@@ -162,3 +162,75 @@ def test_ssl_tokenizer_chunking_and_harvest():
     )
     assert len(ids8k) == len(ids)
     assert tok.is_discrete and tok.find_length(wav) == 16000
+
+
+def test_load_glm4v_checkpoint_dir_and_cli(tmp_path):
+    """End-to-end: GLM-4-Voice checkpoint layout (config.json + safetensors)
+    -> load_glm4v_encoder -> offline_tokenization --mode ssl."""
+    import json
+
+    import jax
+    from safetensors.numpy import save_file
+
+    from rstnet_tpu.models.whisper_vq import load_glm4v_encoder
+
+    rng = np.random.default_rng(0)
+    d, ffn, mels, vocab = TINY.d_model, TINY.ffn_dim, TINY.n_mels, TINY.quantize_vocab_size
+    state = {
+        "conv1.weight": rng.standard_normal((d, mels, 3)).astype(np.float32) * 0.05,
+        "conv1.bias": np.zeros(d, np.float32),
+        "conv2.weight": rng.standard_normal((d, d, 3)).astype(np.float32) * 0.05,
+        "conv2.bias": np.zeros(d, np.float32),
+        "embed_positions.weight": rng.standard_normal((100, d)).astype(np.float32) * 0.02,
+        "codebook.weight": rng.standard_normal((vocab, d)).astype(np.float32),
+    }
+    for i in range(TINY.num_layers):
+        p = f"layers.{i}."
+        state.update({
+            p + "self_attn_layer_norm.weight": np.ones(d, np.float32),
+            p + "self_attn_layer_norm.bias": np.zeros(d, np.float32),
+            p + "self_attn.q_proj.weight": rng.standard_normal((d, d)).astype(np.float32) * 0.05,
+            p + "self_attn.q_proj.bias": np.zeros(d, np.float32),
+            p + "self_attn.k_proj.weight": rng.standard_normal((d, d)).astype(np.float32) * 0.05,
+            p + "self_attn.v_proj.weight": rng.standard_normal((d, d)).astype(np.float32) * 0.05,
+            p + "self_attn.v_proj.bias": np.zeros(d, np.float32),
+            p + "self_attn.out_proj.weight": rng.standard_normal((d, d)).astype(np.float32) * 0.05,
+            p + "self_attn.out_proj.bias": np.zeros(d, np.float32),
+            p + "final_layer_norm.weight": np.ones(d, np.float32),
+            p + "final_layer_norm.bias": np.zeros(d, np.float32),
+            p + "fc1.weight": rng.standard_normal((ffn, d)).astype(np.float32) * 0.05,
+            p + "fc1.bias": np.zeros(ffn, np.float32),
+            p + "fc2.weight": rng.standard_normal((d, ffn)).astype(np.float32) * 0.05,
+            p + "fc2.bias": np.zeros(d, np.float32),
+        })
+    ckpt = tmp_path / "glm4v"
+    ckpt.mkdir()
+    save_file(state, str(ckpt / "model.safetensors"))
+    (ckpt / "config.json").write_text(json.dumps({
+        "num_mel_bins": mels, "d_model": d, "encoder_attention_heads": TINY.num_heads,
+        "encoder_ffn_dim": ffn, "quantize_position": TINY.quantize_position,
+        "pooling_kernel_size": TINY.pooling_kernel_size, "pooling_position": TINY.pooling_position,
+        "pooling_type": "avg", "quantize_vocab_size": vocab, "max_source_positions": 100,
+    }))
+    model, params = load_glm4v_encoder(str(ckpt))
+    assert model.config.d_model == d
+    ids, _ = jax.jit(model.encode)(
+        params, np.zeros((1, mels, 16), np.float32), np.ones((1, 16), np.float32)
+    )
+    assert ids.shape == (1, 4)
+
+    # CLI: wav.scp -> ssl token shard
+    from rstnet_tpu.tools.offline_tokenization import main as tok_main
+    from rstnet_tpu.tools.scp_tools import write_scp
+    from rstnet_tpu.utils.audio import write_wav
+
+    wav = (0.1 * np.random.default_rng(1).standard_normal(16000)).astype(np.float32)
+    write_wav(str(tmp_path / "a.wav"), wav, 16000)
+    write_scp(str(tmp_path / "wav.scp"), [("utt0", str(tmp_path / "a.wav"))])
+    tok_main([
+        "--scp", str(tmp_path / "wav.scp"), "--output", str(tmp_path / "ssl.npz"),
+        "--mode", "ssl", "--ssl-checkpoint", str(ckpt),
+    ])
+    shard = np.load(tmp_path / "ssl.npz")
+    assert shard["utt0"].shape[0] == 1  # single semantic codebook
+    assert shard["utt0"].shape[1] == 16000 // (2 * TINY.pooling_kernel_size * 160)
