@@ -300,11 +300,27 @@ def main(argv=None):
              "frame step (0 = reference-style single session)",
     )
     parser.add_argument(
+        "--ssl", default="", metavar="DIR",
+        help="serve wss/https with DIR/cert.pem + DIR/key.pem "
+             "(reference server.py --ssl)",
+    )
+    parser.add_argument(
         "--kv-int8", action="store_true",
         help="store the LM ring K/V as int8 with per-step scales: half the "
              "cache memory and attention HBM traffic per frame",
     )
     args = parser.parse_args(argv)
+
+    ssl_context = None
+    if args.ssl:
+        import os as _os
+        import ssl as _ssl
+
+        ssl_context = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+        ssl_context.load_cert_chain(
+            certfile=_os.path.join(args.ssl, "cert.pem"),
+            keyfile=_os.path.join(args.ssl, "key.pem"),
+        )
 
     from rstnet_tpu.models.convert import convert_moshi_lm, load_mimi, load_torch_state_dict
     from rstnet_tpu.models.mimi import mimi_24k
@@ -333,7 +349,8 @@ def main(argv=None):
             logging.info("warming up (tiny, batch %d)...", args.batch)
             batcher.warmup()
             logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
-            web.run_app(build_batched_app(batcher), host=args.host, port=args.port)
+            web.run_app(build_batched_app(batcher), host=args.host, port=args.port,
+                        ssl_context=ssl_context)
             return
         state = ServerState(
             mimi=mimi, mimi_params=mimi_params,
@@ -342,7 +359,8 @@ def main(argv=None):
         logging.info("warming up (tiny)...")
         state.warmup()
         logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
-        web.run_app(build_app(state), host=args.host, port=args.port)
+        web.run_app(build_app(state), host=args.host, port=args.port,
+                    ssl_context=ssl_context)
         return
 
     mimi = mimi_24k()
@@ -383,7 +401,8 @@ def main(argv=None):
         batcher.warmup()
         logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
         web.run_app(
-            build_batched_app(batcher, tokenizer), host=args.host, port=args.port
+            build_batched_app(batcher, tokenizer), host=args.host, port=args.port,
+            ssl_context=ssl_context,
         )
         return
     state = ServerState(
@@ -394,7 +413,8 @@ def main(argv=None):
     logging.info("warming up...")
     state.warmup()
     logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
-    web.run_app(build_app(state), host=args.host, port=args.port)
+    web.run_app(build_app(state), host=args.host, port=args.port,
+                ssl_context=ssl_context)
 
 
 if __name__ == "__main__":
