@@ -56,9 +56,14 @@ def test_collate_golden_vs_reference(torch_reference):
     import sys
     import types
 
+    import importlib.machinery
+
     for name in ("omegaconf", "torchaudio"):
         if name not in sys.modules:
             stub = types.ModuleType(name)
+            # a real ModuleSpec so importlib.util.find_spec on the stub
+            # (e.g. transformers' availability probes) keeps working
+            stub.__spec__ = importlib.machinery.ModuleSpec(name, None)
             if name == "omegaconf":
                 stub.OmegaConf = object
             sys.modules[name] = stub
