@@ -451,6 +451,28 @@ def main():
     rtt_floor = rtts[len(rtts) // 2]
 
     int8_detail = {}
+    if os.environ.get("BENCH_HEAD_INT8", "1") == "1" and size != "tiny":
+        # head-only int8: the cheapest slice of --int8 for the default
+        # bf16 path (the 128k-vocab lm_head is the largest single read)
+        try:
+            from rstnet_tpu.models.lm import quantize_head_for_serving
+
+            params_h = jax.block_until_ready(quantize_head_for_serving(params))
+            state_h = gen.init_state(1)
+            for _ in range(4):
+                key, sub = jax.random.split(key)
+                out_h, _, state_h = step(params_h, state_h, sub)
+            np.asarray(out_h)
+            t0 = time.perf_counter()
+            for _ in range(n_frames):
+                key, sub = jax.random.split(key)
+                out_h, _, state_h = step(params_h, state_h, sub)
+            np.asarray(out_h)
+            head_ms = (time.perf_counter() - t0) / n_frames * 1000.0
+            int8_detail["head_int8_amortized_ms"] = round(head_ms, 3)
+            del params_h, state_h, out_h
+        except Exception as e:  # noqa: BLE001
+            int8_detail["head_int8_bench_error"] = str(e)[:120]
     if os.environ.get("BENCH_INT8", "1") == "1" and size != "tiny":
         # weight-only int8 serving path (the server's --int8 flag): halves
         # HBM weight traffic, the batch-1 decode bottleneck

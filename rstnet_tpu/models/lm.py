@@ -390,3 +390,18 @@ def quantize_for_serving(model: SpeechTextLM, params: Params) -> Params:
         params["audio_linears"]["weight"]
     )
     return out
+
+
+def quantize_head_for_serving(params: Params) -> Params:
+    """int8 the 128k-vocab lm_head ONLY, leaving the rest bf16.
+
+    The head is the single largest weight read of the batch-1 decode
+    (padded_vocab x n_embd, ~0.5 GB bf16 at llama3 vocab); its logits feed
+    top-k sampling, which is robust to per-channel int8 rounding — the
+    cheapest slice of the full --int8 mode for the default bf16 path."""
+    from rstnet_tpu.models.backbone import quantize_linear_int8
+
+    out = dict(params)
+    out["backbone"] = dict(params["backbone"])
+    out["backbone"]["lm_head"] = quantize_linear_int8(params["backbone"]["lm_head"])
+    return out

@@ -188,7 +188,13 @@ class MoshiLMModel:
     # -- forward (training & single-step) -------------------------------------------
 
     def _text_logits(self, params: Params, hidden: jax.Array) -> jax.Array:
-        logits = hidden @ params["text_linear"]["weight"].T.astype(hidden.dtype)
+        w = params["text_linear"]["weight"]
+        if isinstance(w, dict):  # weight-only int8 head (--int8-head)
+            logits = (hidden @ w["w_int8"].T.astype(hidden.dtype)) * w[
+                "scale"
+            ].astype(hidden.dtype)
+        else:
+            logits = hidden @ w.T.astype(hidden.dtype)
         if "bias" in params["text_linear"]:
             logits = logits + params["text_linear"]["bias"].astype(logits.dtype)
         return logits

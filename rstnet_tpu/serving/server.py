@@ -300,6 +300,11 @@ def main(argv=None):
              "frame step (0 = reference-style single session)",
     )
     parser.add_argument(
+        "--int8-head", action="store_true",
+        help="int8 ONLY the 128k-vocab lm_head (largest single weight read "
+             "of the frame); near-bf16 logits, ~0.5 GB less HBM traffic",
+    )
+    parser.add_argument(
         "--ssl", default="", metavar="DIR",
         help="serve wss/https with DIR/cert.pem + DIR/key.pem "
              "(reference server.py --ssl)",
@@ -390,6 +395,14 @@ def main(argv=None):
         lm_params["transformer"] = quantize_transformer_int8(lm_params["transformer"])
         lm_params["depformer"] = quantize_transformer_int8(lm_params["depformer"])
         lm_params["depformer_in"] = quantize_weight_int8(lm_params["depformer_in"])
+    if args.int8_head and not args.int8:
+        from rstnet_tpu.modules.transformer import quantize_weight_int8
+
+        lm_params = dict(lm_params)
+        lm_params["text_linear"] = dict(lm_params["text_linear"])
+        lm_params["text_linear"]["weight"] = quantize_weight_int8(
+            lm_params["text_linear"]["weight"]
+        )
     lm_gen = LMGen(lm, delays=lm.delays, kv_int8=args.kv_int8)
     if args.batch:
         from rstnet_tpu.serving.batcher import SessionBatcher

@@ -156,3 +156,30 @@ def test_kv_int8_close_to_exact():
         n_match += int((np.asarray(out) == np.asarray(out8)).all())
     # random tiny models have near-tied logits; require most frames to agree
     assert n_match >= 7, f"only {n_match}/10 greedy frames matched exact KV"
+
+
+def test_head_only_int8_keeps_greedy_tokens():
+    """quantize_head_for_serving (int8 lm_head only): greedy text argmax
+    agrees with bf16 on nearly every position; audio path untouched."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from rstnet_tpu.models.lm import quantize_head_for_serving
+
+    model = _flagship(tiny=True)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    params_h = quantize_head_for_serving(params)
+    key = jax.random.PRNGKey(1)
+    text = jax.random.randint(key, (2, 1, 12), 0, model.config.padded_vocab_size)
+    audio = jax.random.randint(key, (2, model.config.n_q, 12), 0, model.config.audio_card)
+    seq = jnp.concatenate([text, audio], axis=1)
+    audio_logits, text_logits = jax.jit(model.__call__)(params, seq)
+    audio_logits_h, text_logits_h = jax.jit(model.__call__)(params_h, seq)
+    # audio path is untouched -> bit-identical
+    np.testing.assert_array_equal(np.asarray(audio_logits), np.asarray(audio_logits_h))
+    # text argmax agrees almost everywhere under per-channel int8 rounding
+    a = np.asarray(jnp.argmax(text_logits, -1)).reshape(-1)
+    b = np.asarray(jnp.argmax(text_logits_h, -1)).reshape(-1)
+    assert (a == b).mean() >= 0.9

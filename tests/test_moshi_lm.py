@@ -125,3 +125,31 @@ def test_moshi_lmgen_kv_int8():
         out8, _, s8 = step8(params, s8, key, user)
         n_match += int((np.asarray(out) == np.asarray(out8)).all())
     assert n_match >= 6, f"only {n_match}/8 greedy frames matched exact KV"
+
+
+def test_moshi_text_linear_int8_head():
+    """--int8-head server path: text_linear consumes the quantized dict and
+    stays close to the bf16 logits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rstnet_tpu.models.moshi_lm import MoshiLMModel
+    from rstnet_tpu.modules.transformer import quantize_weight_int8
+
+    lm = MoshiLMModel(
+        delays=(0,) * 9, n_q=8, dep_q=4, card=16, text_card=64, dim=32,
+        num_heads=4, num_layers=1, hidden_scale=4.0, context=16,
+        existing_text_padding_id=3, depformer_dim=16,
+        depformer_dim_feedforward=32, depformer_num_heads=2,
+        depformer_num_layers=1,
+    )
+    params = lm.init(jax.random.PRNGKey(0))
+    hidden = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32))
+    ref = lm._text_logits(params, hidden)
+    q = dict(params)
+    q["text_linear"] = dict(params["text_linear"])
+    q["text_linear"]["weight"] = quantize_weight_int8(params["text_linear"]["weight"])
+    got = lm._text_logits(q, hidden)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05, rtol=0.1)
