@@ -33,6 +33,7 @@ from rstnet_tpu.ops.attention import (
     ring_kv_update,
 )
 from rstnet_tpu.ops.gating import ActivationGating, get_activation
+from rstnet_tpu.ops.pallas_ffn import gating_ffn_pallas_step, use_pallas_ffn
 from rstnet_tpu.ops.norms import LayerScale, Norm
 from rstnet_tpu.ops.rope import apply_rope_interleaved
 
@@ -81,6 +82,38 @@ def quantize_transformer_int8(params: Params) -> Params:
         layers["gating"] = {
             k: quantize_weight_int8(v) for k, v in layers["gating"].items()
         }
+    return {**params, "layers": layers}
+
+
+def pad_codecformer_gating(params: Params, multiple: int = 128) -> Params:
+    """Pad per-step gating weights so the fused decode FFN kernel applies.
+
+    The Pallas micro-step kernel needs the gating hidden dim to be a
+    multiple of the TPU lane width; many configs (e.g. dim_feedforward ==
+    d_model) produce hidden = 2*ff/3 that isn't. Zero rows are inert — the
+    value half multiplies the gate half to zero — so padding once at
+    serving-prep time changes nothing numerically, on either FFN path.
+
+    ``params``: a StreamingTransformer param tree whose layers hold stacked
+    per-step gating weights (linear_in [S, 2H, C], linear_out [S, C, H]).
+    """
+    layers = dict(params["layers"])
+    gating = layers.get("gating")
+    if gating is None or isinstance(gating["linear_in"], dict):
+        return params
+    lin_in, lin_out = gating["linear_in"], gating["linear_out"]
+    H = lin_in.shape[-2] // 2
+    pad = (-H) % multiple
+    if pad == 0:
+        return params
+    gate, val = lin_in[..., :H, :], lin_in[..., H:, :]
+    zrow = jnp.zeros(lin_in.shape[:-2] + (pad,) + lin_in.shape[-1:], lin_in.dtype)
+    layers["gating"] = {
+        "linear_in": jnp.concatenate([gate, zrow, val, zrow], axis=-2),
+        "linear_out": jnp.pad(
+            lin_out, [(0, 0)] * (lin_out.ndim - 1) + [(0, pad)]
+        ),
+    }
     return {**params, "layers": layers}
 
 
@@ -221,15 +254,36 @@ class StreamingTransformer:
             update = act(h @ w1.T) @ w2.T
         elif self.weights_per_step:
             T = x.shape[1]
-            steps = jnp.asarray(offset) + jnp.arange(T)
-            lin_in = resolve_weight(layer["gating"]["linear_in"], h.dtype)
-            lin_out = resolve_weight(layer["gating"]["linear_out"], h.dtype)
-            w_in = jnp.take(lin_in, steps, axis=0, mode="clip")
-            w_out = jnp.take(lin_out, steps, axis=0, mode="clip")
-            g = jnp.einsum("btd,thd->bth", h, w_in)
-            gate, val = jnp.split(g, 2, axis=-1)
-            gated = get_activation(self.gating)(gate) * val
-            update = jnp.einsum("bth,tdh->btd", gated, w_out)
+            raw_in = layer["gating"]["linear_in"]
+            # shape-derived hidden: pad_codecformer_gating may have padded it
+            # to a multiple of 128 for the fused kernel (zero rows are inert)
+            hidden = raw_in.shape[1] // 2 if isinstance(raw_in, jax.Array) else 0
+            if (
+                T == 1
+                and use_pallas_ffn()
+                and isinstance(raw_in, jax.Array)
+                and hidden % 128 == 0
+                and self.d_model % 128 == 0
+            ):
+                # fused decode micro-step: the step's weight slice is DMA'd
+                # directly via scalar prefetch (no HBM gather of the stack)
+                update = gating_ffn_pallas_step(
+                    h[:, 0, :],
+                    layer["gating"]["linear_in"].astype(h.dtype),
+                    layer["gating"]["linear_out"].astype(h.dtype),
+                    jnp.asarray(offset),
+                    activation=self.gating,
+                )[:, None, :]
+            else:
+                steps = jnp.asarray(offset) + jnp.arange(T)
+                lin_in = resolve_weight(raw_in, h.dtype)
+                lin_out = resolve_weight(layer["gating"]["linear_out"], h.dtype)
+                w_in = jnp.take(lin_in, steps, axis=0, mode="clip")
+                w_out = jnp.take(lin_out, steps, axis=0, mode="clip")
+                g = jnp.einsum("btd,thd->bth", h, w_in)
+                gate, val = jnp.split(g, 2, axis=-1)
+                gated = get_activation(self.gating)(gate) * val
+                update = jnp.einsum("bth,tdh->btd", gated, w_out)
         else:
             gp = {k: resolve_weight(v, h.dtype) for k, v in layer["gating"].items()}
             g = ActivationGating(self.d_model, self.dim_feedforward, self.gating)

@@ -198,6 +198,97 @@ def gating_ffn_pallas_int8(
     )(x, w_gate_q, gs, w_val_q, vs, w_out_q, os_)
 
 
+def _ffn_step_kernel(s_ref, x_ref, wg_ref, wv_ref, wo_ref, out_ref, acc, *, activation):
+    del s_ref  # only used by the index maps
+    h = pl.program_id(0)
+
+    @pl.when(h == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:].astype(jnp.float32)  # [B, C]
+    wg = wg_ref[0].astype(jnp.float32)  # [bh, C]
+    wv = wv_ref[0].astype(jnp.float32)
+    a = jax.lax.dot_general(
+        x, wg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    b = jax.lax.dot_general(
+        x, wv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    hid = get_activation(activation)(a) * b
+    wo = wo_ref[0].astype(jnp.float32)  # [C, bh]
+    acc[:] = acc[:] + jax.lax.dot_general(
+        hid, wo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(h == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc[:].astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("activation", "block_h", "interpret"))
+def gating_ffn_pallas_step(
+    x: jax.Array,
+    lin_in: jax.Array,
+    lin_out: jax.Array,
+    step: jax.Array,
+    activation: str = "silu",
+    block_h: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-step-weight fused FFN for the depformer micro-step.
+
+    x: [B, C]; lin_in: [S, 2H, C] (each step's gating ``linear_in``, gate
+    rows then value rows); lin_out: [S, C, H]; step: int32 scalar selecting
+    the micro-step's weight slice. The step index is a scalar-prefetch
+    operand, so the kernel DMAs only the selected slice — no HBM gather or
+    copy of the [S, ...] stacks (the XLA path's ``jnp.take``).
+    """
+    B, C = x.shape
+    S, H2, C2 = lin_in.shape
+    assert C2 == C and H2 % 2 == 0
+    H = H2 // 2
+    assert lin_out.shape == (S, C, H)
+    if not block_h:
+        block_h = _pick_block_h(H)
+    assert H % block_h == 0, (H, block_h)
+    n_blocks = H // block_h
+    val_off = n_blocks  # value rows start at block index H/block_h in lin_in
+    step = jnp.clip(jnp.asarray(step, jnp.int32), 0, S - 1).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((B, C), lambda h, s: (0, 0)),
+            pl.BlockSpec((1, block_h, C), lambda h, s: (s[0], h, 0)),
+            pl.BlockSpec((1, block_h, C), lambda h, s: (s[0], h + val_off, 0)),
+            pl.BlockSpec((1, C, block_h), lambda h, s: (s[0], 0, h)),
+        ],
+        out_specs=pl.BlockSpec((B, C), lambda h, s: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((B, C), jnp.float32)],
+    )
+    return pl.pallas_call(
+        partial(_ffn_step_kernel, activation=activation),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(step, x, lin_in, lin_in, lin_out)
+
+
+def use_pallas_ffn() -> bool:
+    """Opt-in gate for the fused decode FFN (RSTNET_PALLAS_FFN=1, TPU only)."""
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("RSTNET_PALLAS_FFN", "0") == "1"
+    )
+
+
 def gating_ffn_reference(
     x: jax.Array,
     w_gate: jax.Array,

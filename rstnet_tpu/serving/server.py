@@ -403,6 +403,15 @@ def main(argv=None):
         lm_params["text_linear"]["weight"] = quantize_weight_int8(
             lm_params["text_linear"]["weight"]
         )
+    from rstnet_tpu.ops.pallas_ffn import use_pallas_ffn
+
+    if use_pallas_ffn():
+        # align the depformer gating hidden dim for the fused decode FFN
+        # kernel (no-op for moshi_7b whose hidden is already 128-aligned)
+        from rstnet_tpu.modules.transformer import pad_codecformer_gating
+
+        lm_params = dict(lm_params)
+        lm_params["depformer"] = pad_codecformer_gating(lm_params["depformer"])
     lm_gen = LMGen(lm, delays=lm.delays, kv_int8=args.kv_int8)
     if args.batch:
         from rstnet_tpu.serving.batcher import SessionBatcher
