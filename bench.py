@@ -236,7 +236,9 @@ def bench_8b(n_frames: int = 20) -> dict:
     from rstnet_tpu.core import param_count
 
     out_d = {"int8_8b_params_b": round(param_count(params) / 1e9, 2)}
-    for B in (1, 8, 16):
+    # int8 weights ~8.6 GB + 98 MB/session ring-KV: 32 sessions ~11.7 GB,
+    # inside the 16 GB chip; sweep records the largest batch under budget
+    for B in (1, 16, 24, 32):
         try:
             state = gen.init_state(B)
             k = jax.random.PRNGKey(2)

@@ -71,7 +71,9 @@ class SSLTokenizer(AbsTokenizer):
             # pad the raw audio to a whole number of tokens (reference pads
             # features with pad_to_multiple_of=stride)
             pad = (-len(seg)) % self.stride
-            n_valid_mel = len(seg) // 160
+            # ceil: a trailing partial mel frame still yields a token, the
+            # reference's ceil(len/sr*12.5) count (GLM4V/semantic.py)
+            n_valid_mel = -(-len(seg) // 160)
             seg = np.pad(seg, (0, pad))
             mel = log_mel_spectrogram(seg, cfg.n_mels)  # [n_mels, frames]
             n_mel = mel.shape[1]

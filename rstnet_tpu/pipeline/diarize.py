@@ -85,6 +85,10 @@ def subdivide_turns(
         start, end = float(turn["start"]), float(turn["end"])
         if end <= last_end:
             continue  # fully inside an earlier turn
+        # partial overlap (pyannote emits overlapped speech as overlapping
+        # turns): serialize by clipping this turn to start after the
+        # previous end, so no audio region lands in two segments
+        start = max(start, last_end)
         last_end = end
         if end - start <= max_direct_s:
             out.append({"start": start, "end": end, "speaker": turn["speaker"]})

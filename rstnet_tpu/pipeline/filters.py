@@ -50,12 +50,15 @@ def calculate_audio_stats(
 
     valid: list[int] = []
     reasons = {"duration": 0, "dnsmos": 0, "char_count": 0, "char_rate": 0}
+    # force-trimmed windows are emitted as end = start + max_segment_s, whose
+    # recomputed end-start can exceed the bound by one ulp — tolerate it
+    tol = 1e-6
     for idx, seg in enumerate(segments):
         dur = float(seg["end"]) - float(seg["start"])
         n = char_count(seg.get("text", "")) if "text" in seg else None
         rate = dur / n if n else None
         ok = True
-        if not (min_duration <= dur <= max_duration):
+        if not (min_duration - tol <= dur <= max_duration + tol):
             reasons["duration"] += 1
             ok = False
         if seg.get("dnsmos") is not None and seg["dnsmos"] < min_dnsmos:

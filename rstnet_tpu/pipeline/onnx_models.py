@@ -90,6 +90,9 @@ class DNSMOS:
         audio = _resample(np.asarray(audio, np.float32).reshape(-1), sr, fs)
         actual_len = len(audio)
         win = int(DNSMOS_INPUT_SECONDS * fs)
+        if len(audio) == 0:
+            # doubling an empty array never grows it; score silence instead
+            audio = np.zeros(win, np.float32)
         # tile short clips up to one full window (reference framing)
         while len(audio) < win:
             audio = np.concatenate([audio, audio])

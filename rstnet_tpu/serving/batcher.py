@@ -123,8 +123,11 @@ class SessionBatcher:
         if not self._free:
             return None
         slot = self._free.pop(0)
-        self._gen[slot] += 1
         with self._state_lock:
+            # gen bump inside the state lock: _device_step re-checks gens
+            # under the same lock, so a bump is never visible without the
+            # matching state reset (and vice versa)
+            self._gen[slot] += 1
             self.enc_state = self.mimi.reset_encode_slots(self.enc_state, [slot])
             self.dec_state = self.mimi.reset_decode_slots(self.dec_state, [slot])
             self.lm_state = self.lm_gen.reset_slots(self.lm_state, [slot])
@@ -161,9 +164,16 @@ class SessionBatcher:
                 pass  # silence keeps the duplex clock running
         return pcm, snapshot
 
-    def _device_step(self, pcm: np.ndarray):
+    def _device_step(self, pcm: np.ndarray, snapshot: Optional[dict[int, int]] = None):
         """The batched device round-trip (safe to run in a worker thread)."""
         with self._state_lock:
+            if snapshot is not None:
+                # a slot re-acquired after input gather must not consume the
+                # previous occupant's audio into the new session's encoder/LM
+                # state — feed silence instead (same as an empty input queue)
+                for slot, gen in snapshot.items():
+                    if self._gen[slot] != gen:
+                        pcm[slot] = 0.0
             t0 = time.perf_counter()
             age = jnp.asarray(self.age)
             codes, self.enc_state = self._encode_step(
@@ -219,16 +229,24 @@ class SessionBatcher:
         if not self.sessions:
             return
         pcm, snapshot = self._gather_inputs()
-        self._distribute(snapshot, *self._device_step(pcm))
+        self._distribute(snapshot, *self._device_step(pcm, snapshot))
 
     def _fail_sessions(self, exc: BaseException) -> None:
         """Terminate every active session after a step failure so clients
         see the error instead of a silently frozen stream."""
         for slot, sess in list(self.sessions.items()):
+            # the close sentinel must not be lost to a full queue (the
+            # consumer would drain the buffer then block forever on get):
+            # drop buffered frames to guarantee space — the stream is dead
             try:
                 sess.outputs.put_nowait(None)  # sentinel: stream closed
             except asyncio.QueueFull:
-                pass  # consumer is alive; it will fail on the next get
+                while True:
+                    try:
+                        sess.outputs.get_nowait()
+                    except asyncio.QueueEmpty:
+                        break
+                sess.outputs.put_nowait(None)
             self.sessions.pop(slot, None)
             if slot not in self._free:
                 self._free.append(slot)
@@ -249,7 +267,7 @@ class SessionBatcher:
                 try:
                     pcm, snapshot = self._gather_inputs()
                     result = await loop.run_in_executor(
-                        None, self._device_step, pcm
+                        None, self._device_step, pcm, snapshot
                     )
                     self._distribute(snapshot, *result)
                 except asyncio.CancelledError:

@@ -37,6 +37,10 @@ async def _negotiate(ws, codec: str):
 
     if codec == "legacy":  # pre-handshake wire format: raw PCM16
         return opus.Pcm16Transport()
+    if codec == "opus" and not opus.available():
+        # never offer a codec this host can't decode: the server would
+        # accept and the reply would be unusable — fall back before offering
+        codec = "pcm16"
     await ws.send_str(json.dumps({"codec": codec}))
     reply = await ws.receive_str()
     accepted = json.loads(reply).get("codec", "pcm16")

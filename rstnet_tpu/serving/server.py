@@ -141,16 +141,16 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
 
     ws = web.WebSocketResponse()
     await ws.prepare(request)
-    sess = batcher.acquire()
-    if sess is None:
-        await ws.close(code=1013, message=b"server full")
-        return ws
-    logging.info("chat session started (slot %d)", sess.slot)
-    # transport is set by the handshake (or defaulted on first binary frame)
-    # before any input reaches the batcher, hence before any output exists
+    # the slot is acquired only AFTER the codec is decided (handshake reply
+    # sent, or legacy first-binary default): the batcher steps acquired
+    # slots immediately, and output frames must never be packed with a
+    # transport the client didn't negotiate (nor interleave binary audio
+    # into the client's wait for the handshake reply)
     holder = {"transport": None}
+    sess = None
+    out_task = None
 
-    async def pump_outputs():
+    async def pump_outputs(sess):
         try:
             while True:
                 item = await sess.outputs.get()
@@ -168,7 +168,16 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
             logging.info("slot %d output stream closed (%s)", sess.slot, e)
             await ws.close()
 
-    out_task = asyncio.get_running_loop().create_task(pump_outputs())
+    async def start_session():
+        nonlocal sess, out_task
+        sess = batcher.acquire()
+        if sess is None:
+            await ws.close(code=1013, message=b"server full")
+            return False
+        logging.info("chat session started (slot %d)", sess.slot)
+        out_task = asyncio.get_running_loop().create_task(pump_outputs(sess))
+        return True
+
     try:
         buffered = np.zeros((0,), np.float32)
         frame_size = batcher.frame_size
@@ -176,6 +185,8 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
             if msg.type == WSMsgType.TEXT and holder["transport"] is None:
                 holder["transport"], reply = _handshake_reply(msg.data, frame_size)
                 await ws.send_str(reply)
+                if not await start_session():
+                    break
                 continue
             if msg.type != WSMsgType.BINARY:
                 continue
@@ -184,6 +195,8 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
                 continue
             if holder["transport"] is None:  # legacy client: PCM16, no handshake
                 holder["transport"] = opus.Pcm16Transport()
+            if sess is None and not await start_session():
+                break
             buffered = np.concatenate(
                 [buffered, holder["transport"].unpack(data[1:])]
             )
@@ -191,9 +204,11 @@ async def handle_chat_batched(batcher, text_tokenizer, request):
                 frame, buffered = buffered[:frame_size], buffered[frame_size:]
                 await sess.inputs.put(frame)
     finally:
-        out_task.cancel()
-        batcher.release(sess)
-        logging.info("chat session ended (slot %d)", sess.slot)
+        if out_task is not None:
+            out_task.cancel()
+        if sess is not None:
+            batcher.release(sess)
+            logging.info("chat session ended (slot %d)", sess.slot)
     return ws
 
 

@@ -89,9 +89,10 @@ def test_subdivide_serializes_overlapping_turns():
     fine = subdivide_turns(
         [seg(0, 5, "A"), seg(2, 4, "B"), seg(4, 8, "B")], wav, 8000
     )
-    # the fully-contained B turn is skipped; ends are monotone
+    # the fully-contained B turn is skipped; the partially overlapping one is
+    # clipped to start after A ends, so no audio region lands in two segments
     assert [(s["start"], s["end"], s["speaker"]) for s in fine] == [
-        (0.0, 5.0, "A"), (4.0, 8.0, "B"),
+        (0.0, 5.0, "A"), (5.0, 8.0, "B"),
     ]
 
 
