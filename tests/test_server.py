@@ -210,6 +210,55 @@ def _tiny_batcher(max_sessions=2):
     )
 
 
+def test_batched_handshake_reply_precedes_any_audio():
+    """The batched handler must not stream audio before the codec handshake
+    is decided: the slot is acquired only after the reply is sent, so a
+    client that offers a codec never receives frames packed with a
+    transport it didn't negotiate."""
+    import json
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rstnet_tpu.serving.server import build_batched_app
+
+    batcher = _tiny_batcher()
+    batcher.warmup()
+    app = build_batched_app(batcher)
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            ws = await client.ws_connect("/api/chat")
+            # several 80 ms clock ticks pass with the offer unsent; a slot
+            # acquired at connect time would already have queued audio
+            await asyncio.sleep(0.4)
+            await ws.send_str(json.dumps({"codec": "pcm16"}))
+            msg = await asyncio.wait_for(ws.receive(), timeout=30)
+            assert msg.type.name == "TEXT", (
+                f"first message after the offer must be the handshake reply, "
+                f"got {msg.type.name}"
+            )
+            assert json.loads(msg.data)["codec"] == "pcm16"
+            # the negotiated session then streams audio normally
+            for i in range(3):
+                pcm = np.random.default_rng(i).normal(0, 0.1, 24).astype(np.float32)
+                await ws.send_bytes(TAG_AUDIO + float_to_pcm16(pcm))
+            got = 0
+            for _ in range(20):
+                msg = await asyncio.wait_for(ws.receive(), timeout=30)
+                if msg.type.name != "BINARY":
+                    break
+                if bytes(msg.data)[:1] == TAG_AUDIO:
+                    got += 1
+                if got >= 2:
+                    break
+            await ws.close()
+            return got
+
+    got = asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+    assert got >= 2
+    assert len(batcher.sessions) == 0
+
+
 def test_batcher_slot_reacquire_drops_inflight_frame():
     """A frame computed for a released slot must NOT be delivered to a new
     session that re-acquired the slot while the step was in flight."""
@@ -244,7 +293,7 @@ def test_batcher_step_failure_closes_sessions_and_keeps_clock():
         batcher = _tiny_batcher()
         batcher.warmup()
         sess = batcher.acquire()
-        batcher._device_step = lambda pcm: (_ for _ in ()).throw(
+        batcher._device_step = lambda pcm, snapshot=None: (_ for _ in ()).throw(
             RuntimeError("injected device failure")
         )
         task = asyncio.get_running_loop().create_task(batcher.run())
