@@ -236,8 +236,11 @@ def bench_8b(n_frames: int = 20) -> dict:
     from rstnet_tpu.core import param_count
 
     out_d = {"int8_8b_params_b": round(param_count(params) / 1e9, 2)}
-    # int8 weights ~8.6 GB + 98 MB/session ring-KV: 32 sessions ~11.7 GB,
-    # inside the 16 GB chip; sweep records the largest batch under budget
+    # Measured ceiling (2026-08-17): B=16 fits and serves at ~69 ms/frame;
+    # B=24 fails in the remote compiler (HBM buffer assignment) despite the
+    # naive 98 MB/session arithmetic suggesting room — activation workspace
+    # at batch 24 x context 3000 pushes past the 16 GB budget. The sweep
+    # records the largest batch that actually compiles and fits.
     for B in (1, 16, 24, 32):
         try:
             state = gen.init_state(B)

@@ -20,3 +20,15 @@ XLA equivalent of the reference's CUDA-graph capture for free.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("RSTNET_PLATFORM"):
+    # Uniform device-selection escape hatch for every CLI in the package:
+    # RSTNET_PLATFORM=cpu keeps data-prep/tokenization jobs off the TPU so
+    # they never contend with a training or serving process on the chip.
+    # (Set via jax.config, not JAX_PLATFORMS, because site boot hooks that
+    # force-register a platform ignore the environment variable.)
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["RSTNET_PLATFORM"])
