@@ -32,14 +32,24 @@ EOF
 fi
 
 if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
-  echo "== stage 2: Mimi tokenization of both channels =="
-  python -m rstnet_tpu.tools.scp_tools split "$data_root/segments/wav.scp" "$nj" \
-      "$data_root/split/wav.JOB.scp"
-  python -m rstnet_tpu.tools.run_jobs --jobs "$nj" --log "$data_root/log/tok.JOB.log" -- \
-      python -m rstnet_tpu.tools.offline_tokenization \
-        --scp "$data_root/split/wav.JOB.scp" \
-        --output "$data_root/tokens/audio.JOB.npz" \
-        --mode audio ${mimi_ckpt:+--mimi-checkpoint "$mimi_ckpt"}
+  echo "== stage 2: duplex Mimi tokenization (17-stream grids) =="
+  if [ -f "$data_root/segments/sessions.json" ]; then
+    # speaker-labeled sessions from the pipeline: render user/assistant
+    # channels by speaker and stack both codebook sets + the text row
+    python -m rstnet_tpu.tools.offline_tokenization \
+        --sessions "$data_root/segments/sessions.json" \
+        --output "$data_root/tokens/audio.1.npz" \
+        --mode duplex ${mimi_ckpt:+--mimi-checkpoint "$mimi_ckpt"}
+  else
+    # Fisher-style stereo recordings: one conversation side per channel
+    python -m rstnet_tpu.tools.scp_tools split "$data_root/segments/wav.scp" "$nj" \
+        "$data_root/split/wav.JOB.scp"
+    python -m rstnet_tpu.tools.run_jobs --jobs "$nj" --log "$data_root/log/tok.JOB.log" -- \
+        python -m rstnet_tpu.tools.offline_tokenization \
+          --scp "$data_root/split/wav.JOB.scp" \
+          --output "$data_root/tokens/audio.JOB.npz" \
+          --mode duplex ${mimi_ckpt:+--mimi-checkpoint "$mimi_ckpt"}
+  fi
   for f in "$data_root"/tokens/audio.*.npz; do
     job=$(basename "$f" .npz | cut -d. -f2)
     python -m rstnet_tpu.tools.create_data_json --task moshi_ft \

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main(argv=None) -> None:
@@ -23,6 +24,7 @@ def main(argv=None) -> None:
         keys["audio_seq"] = args.audio_seq
     if args.text_seq:
         keys["text_seq"] = args.text_seq
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     with open(args.output, "w") as f:
         json.dump({"task": args.task, "keys": keys}, f, indent=2)
     print(args.output)

@@ -108,3 +108,76 @@ def test_wav_dir_to_scp(tmp_path):
         write_wav(str(tmp_path / f"w{i}.wav"), np.zeros(100, np.float32), 8000)
     n = wav_dir_to_scp(str(tmp_path), str(tmp_path / "wav.scp"))
     assert n == 3
+
+
+def test_duplex_tokenization_stereo_and_sessions(tmp_path, monkeypatch):
+    """Both duplex forms produce pre-stacked [17, T] moshi_ft grids, with
+    each conversation side routed to its own codebook block."""
+    from rstnet_tpu.data.collate import SpecialTokens
+    from rstnet_tpu.tools import offline_tokenization as ot
+
+    sr = 24000
+
+    class FakeTok:
+        """Deterministic stand-in: code value = scaled channel energy, so
+        channel routing is observable (random-init Mimi collapses codes)."""
+
+        def __init__(self, *a, **k):
+            self.sr = sr
+
+        def tokenize(self, wav, sample_rate=None):
+            n = max(1, int(np.ceil(len(np.ravel(wav)) / 1920)))
+            val = int(np.abs(wav).sum()) % 100
+            return np.full((8, n), val, np.int16)
+
+    monkeypatch.setattr(
+        "rstnet_tpu.data.tokenizers.mimi_tokenizer.MimiTokenizer", FakeTok
+    )
+
+    t = np.arange(sr) / sr
+    left = 0.3 * np.sin(2 * np.pi * 300 * t).astype(np.float32)
+    right = 0.6 * np.sin(2 * np.pi * 500 * t).astype(np.float32)
+    write_wav(str(tmp_path / "stereo.wav"), np.stack([left, right]), sr)
+    write_wav(str(tmp_path / "mono.wav"), left, sr)
+    write_scp(str(tmp_path / "wav.scp"), [
+        ("conv0", str(tmp_path / "stereo.wav")),
+        ("conv1", str(tmp_path / "mono.wav")),
+    ])
+
+    ot.main([
+        "--scp", str(tmp_path / "wav.scp"),
+        "--output", str(tmp_path / "duplex.npz"), "--mode", "duplex",
+    ])
+    shard = np.load(tmp_path / "duplex.npz")
+    g0 = shard["conv0"]
+    assert g0.shape[0] == 17 and g0.shape[1] == 13  # 1 s -> ceil(12.5) frames
+    assert (g0[0] == SpecialTokens.text_pad).all()
+    # the louder right channel lands on the assistant block, distinct codes
+    assert not np.array_equal(g0[1:9], g0[9:17])
+    # mono input: user side matches, assistant side is the silent channel
+    g1 = shard["conv1"]
+    assert g1.shape[0] == 17
+    assert np.array_equal(g0[1:9], g1[1:9])
+    assert (g1[9:17] == 0).all()
+
+    # sessions.json form: two speakers land on opposite channels
+    seg_a = tmp_path / "a.wav"
+    seg_b = tmp_path / "b.wav"
+    write_wav(str(seg_a), left[: sr // 2], sr)
+    write_wav(str(seg_b), right[: sr // 2], sr)
+    sessions = [{
+        "start": 10.0, "end": 11.0, "speakers": ["S0", "S1"],
+        "segments": [
+            {"utt": "a", "path": str(seg_a), "start": 10.0, "speaker": "S0"},
+            {"utt": "b", "path": str(seg_b), "start": 10.5, "speaker": "S1"},
+        ],
+    }]
+    (tmp_path / "sessions.json").write_text(json.dumps(sessions))
+    ot.main([
+        "--sessions", str(tmp_path / "sessions.json"),
+        "--output", str(tmp_path / "sess.npz"), "--mode", "duplex",
+    ])
+    g = np.load(tmp_path / "sess.npz")["session_000000"]
+    assert g.shape[0] == 17 and g.shape[1] == 13
+    assert (g[0] == SpecialTokens.text_pad).all()
+    assert not np.array_equal(g[1:9], g[9:17])
