@@ -496,10 +496,10 @@ def main():
                 out_q, _, state_q = step(params_q, state_q, sub)
             np.asarray(out_q)
             int8_ms = (time.perf_counter() - t0) / n_frames * 1000.0
-            int8_detail = {"int8_amortized_ms": round(int8_ms, 3)}
+            int8_detail["int8_amortized_ms"] = round(int8_ms, 3)
             del params_q, state_q, out_q
         except Exception as e:  # noqa: BLE001 - the headline must still print
-            int8_detail = {"int8_bench_error": str(e)[:120]}
+            int8_detail["int8_bench_error"] = str(e)[:120]
 
     from rstnet_tpu.core import param_count
 
@@ -570,6 +570,7 @@ def main():
                     "transfer_rtt_floor_ms": round(rtt_floor, 3),
                     "p50_sync_minus_rtt_ms": round(max(p50_sync - rtt_floor, 0.0), 3),
                     "p90_ms": round(lat[int(len(lat) * 0.9)], 3),
+                    "p99_ms": round(lat[min(int(len(lat) * 0.99), len(lat) - 1)], 3),
                     "params_m": round(n_params / 1e6, 1),
                     "backbone": f"{model.config.n_embd}x{model.config.n_layer}",
                     "device": jax.devices()[0].platform,
