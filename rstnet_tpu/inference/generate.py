@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 from rstnet_tpu.core import Params, State
 from rstnet_tpu.models.lm import SpeechTextLM, UNGENERATED_TOKEN_ID
+from rstnet_tpu.ops.pallas_depformer import (
+    depformer_kernel_operands,
+    depformer_step_pallas,
+    pallas_depformer_mode,
+)
 from rstnet_tpu.ops.sampling import sample_token
 
 
@@ -143,21 +148,52 @@ class LMGen:
 
         # 4. depformer micro-steps (static unroll over dep_q). The
         # per-codebook input views are one hoisted matmul, not 8.
-        cf_state = model.init_codecformer_state(B, dtype=hidden.dtype)
         dep_ins = model.codecformer_inputs(params, hidden)  # [B, dep_q, 1, C]
+        dep_ops = None
+        dep_mode = pallas_depformer_mode()
+        if dep_mode is not None and B == 1:
+            # fused micro-step megakernel (ops/pallas_depformer.py): one
+            # pallas_call per codebook instead of ~50 tiny XLA kernels;
+            # None when the config is outside the kernel envelope
+            dep_ops = depformer_kernel_operands(model, params)
         prev = text_token[:, None]
         audio_tokens = []
-        for cb in range(cfg.dep_q):
-            logits, cf_state = model.step_codecformer(
-                params, cf_state, cb, prev, hidden, dep_in=dep_ins[:, cb]
+        if dep_ops is not None:
+            kc = jnp.zeros(
+                (dep_ops["L"], dep_ops["S"], dep_ops["C"]), hidden.dtype
             )
-            key, k_cb = jax.random.split(key)
-            tok = sample_token(
-                k_cb, logits[:, 0], self.use_sampling, self.temp, self.top_k,
-                max_card=self.audio_max_card,
-            )
-            prev = tok[:, None]
-            audio_tokens.append(tok)
+            vc = jnp.zeros_like(kc)
+            for cb in range(cfg.dep_q):
+                emb = model.codecformer_step_embedding(params, cb, prev)
+                x = (dep_ins[:, cb, 0] + emb[:, 0]).astype(jnp.bfloat16)
+                logits, kc, vc = depformer_step_pallas(
+                    x, cb,
+                    dep_ops["norm1"], dep_ops["in_proj"], dep_ops["out_proj"],
+                    dep_ops["norm2"], dep_ops["gin"], dep_ops["gout"],
+                    dep_ops["head_w"], dep_ops["head_b"], kc, vc,
+                    heads=dep_ops["heads"], eps=dep_ops["eps"],
+                    interpret=dep_mode == "interpret",
+                )
+                key, k_cb = jax.random.split(key)
+                tok = sample_token(
+                    k_cb, logits, self.use_sampling, self.temp, self.top_k,
+                    max_card=self.audio_max_card,
+                )
+                prev = tok[:, None]
+                audio_tokens.append(tok)
+        else:
+            cf_state = model.init_codecformer_state(B, dtype=hidden.dtype)
+            for cb in range(cfg.dep_q):
+                logits, cf_state = model.step_codecformer(
+                    params, cf_state, cb, prev, hidden, dep_in=dep_ins[:, cb]
+                )
+                key, k_cb = jax.random.split(key)
+                tok = sample_token(
+                    k_cb, logits[:, 0], self.use_sampling, self.temp, self.top_k,
+                    max_card=self.audio_max_card,
+                )
+                prev = tok[:, None]
+                audio_tokens.append(tok)
         audio = jnp.stack(audio_tokens, axis=1)  # [B, dep_q]
 
         # 5. write generated tokens at the next position

@@ -349,19 +349,7 @@ class SpeechTextLM:
             w_in = resolve_weight(params["codecformer_in"], transformer_out.dtype)
             k = cb_index if cfg.codecformer_multi_linear else 0
             dep_in = transformer_out @ w_in[k].T
-        if cb_index == 0:
-            emb = scaled_embedding(
-                params["codecformer_text_emb"], prev_token,
-                norm=params.get("codecformer_text_emb_norm"),
-            )
-        else:
-            anorm = params.get("codecformer_emb_norm")
-            emb = scaled_embedding(
-                params["codecformer_emb"][cb_index - 1], prev_token,
-                norm=None if anorm is None else
-                {"weight": anorm["weight"][cb_index - 1],
-                 "bias": anorm["bias"][cb_index - 1]},
-            )
+        emb = self.codecformer_step_embedding(params, cb_index, prev_token)
         x = dep_in + emb  # [B, 1, C]
         out, cf_state = self.codecformer.step(params["codecformer"], cf_state, x)
         w_al = resolve_weight(params["audio_linears"]["weight"], out.dtype)
@@ -369,6 +357,24 @@ class SpeechTextLM:
         if "bias" in params["audio_linears"]:
             logits = logits + params["audio_linears"]["bias"][cb_index].astype(logits.dtype)
         return logits, cf_state
+
+    def codecformer_step_embedding(
+        self, params: Params, cb_index: int, prev_token: jax.Array
+    ) -> jax.Array:
+        """Previous-token embedding for micro-step ``cb_index`` (step 0 embeds
+        the sampled text token, later steps the previous codebook's token)."""
+        if cb_index == 0:
+            return scaled_embedding(
+                params["codecformer_text_emb"], prev_token,
+                norm=params.get("codecformer_text_emb_norm"),
+            )
+        anorm = params.get("codecformer_emb_norm")
+        return scaled_embedding(
+            params["codecformer_emb"][cb_index - 1], prev_token,
+            norm=None if anorm is None else
+            {"weight": anorm["weight"][cb_index - 1],
+             "bias": anorm["bias"][cb_index - 1]},
+        )
 
     def init_codecformer_state(self, batch_size: int, dtype=jnp.bfloat16) -> State:
         return self.codecformer.init_state(batch_size, dtype)

@@ -272,6 +272,14 @@ class MoshiLMModel:
             w = jnp.repeat(w, self.dep_q, 0)
         return jnp.einsum("btd,kcd->bktc", hidden, w)
 
+    def codecformer_step_embedding(
+        self, params: Params, cb_index: int, prev_token: jax.Array
+    ) -> jax.Array:
+        """Previous-token embedding for micro-step ``cb_index``."""
+        if cb_index == 0:
+            return scaled_embedding(params["depformer_text_emb"], prev_token)
+        return scaled_embedding(params["depformer_emb"][cb_index - 1], prev_token)
+
     def step_codecformer(
         self, params: Params, cf_state: State, cb_index: int,
         prev_token: jax.Array, hidden: jax.Array, dep_in=None,
@@ -281,10 +289,7 @@ class MoshiLMModel:
         ``codecformer_inputs``."""
         if dep_in is None:
             dep_in = self._dep_in(params, hidden, cb_index)
-        if cb_index == 0:
-            emb = scaled_embedding(params["depformer_text_emb"], prev_token)
-        else:
-            emb = scaled_embedding(params["depformer_emb"][cb_index - 1], prev_token)
+        emb = self.codecformer_step_embedding(params, cb_index, prev_token)
         x = dep_in + emb
         out, cf_state = self.depformer.step(params["depformer"], cf_state, x)
         w_lin = resolve_weight(params["linears"]["weight"], out.dtype)
