@@ -403,6 +403,17 @@ def main():
 
     gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q)
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    from rstnet_tpu.ops.pallas_depformer import pallas_depformer_mode
+
+    pallas_dep = pallas_depformer_mode() is not None
+    if pallas_dep:
+        # align the gating hidden dim so the fused depformer micro-step
+        # kernel applies (numerically inert; see pad_codecformer_gating)
+        from rstnet_tpu.modules.transformer import pad_codecformer_gating
+
+        params = {
+            **params, "codecformer": pad_codecformer_gating(params["codecformer"])
+        }
     params = jax.block_until_ready(params)
 
     step = jax.jit(gen.step, donate_argnums=(1,))

@@ -172,6 +172,7 @@ class LMGen:
                     dep_ops["norm2"], dep_ops["gin"], dep_ops["gout"],
                     dep_ops["head_w"], dep_ops["head_b"], kc, vc,
                     heads=dep_ops["heads"], eps=dep_ops["eps"],
+                    scales=dep_ops["scales"],
                     interpret=dep_mode == "interpret",
                 )
                 key, k_cb = jax.random.split(key)

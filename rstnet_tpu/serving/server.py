@@ -400,6 +400,17 @@ def main(argv=None):
         from rstnet_tpu.data.tokenizers.text_tokenizer import TextTokenizer
 
         tokenizer = TextTokenizer(args.tokenizer_dir)
+    from rstnet_tpu.ops.pallas_depformer import use_pallas_depformer
+    from rstnet_tpu.ops.pallas_ffn import use_pallas_ffn
+
+    if use_pallas_ffn() or use_pallas_depformer():
+        # align the depformer gating hidden dim for the fused decode kernels
+        # (no-op for moshi_7b whose hidden is already 128-aligned). Must run
+        # BEFORE int8 quantization: padding operates on raw weight arrays.
+        from rstnet_tpu.modules.transformer import pad_codecformer_gating
+
+        lm_params = dict(lm_params)
+        lm_params["depformer"] = pad_codecformer_gating(lm_params["depformer"])
     if args.int8:
         from rstnet_tpu.modules.transformer import (
             quantize_transformer_int8,
@@ -410,6 +421,13 @@ def main(argv=None):
         lm_params["transformer"] = quantize_transformer_int8(lm_params["transformer"])
         lm_params["depformer"] = quantize_transformer_int8(lm_params["depformer"])
         lm_params["depformer_in"] = quantize_weight_int8(lm_params["depformer_in"])
+        # quantize the audio head too (same as the flagship's
+        # quantize_for_serving): keeps the int8 depformer inside the fused
+        # micro-step kernel's envelope instead of mixed-precision fallback
+        lm_params["linears"] = dict(lm_params["linears"])
+        lm_params["linears"]["weight"] = quantize_weight_int8(
+            lm_params["linears"]["weight"]
+        )
     if args.int8_head and not args.int8:
         from rstnet_tpu.modules.transformer import quantize_weight_int8
 
@@ -418,15 +436,6 @@ def main(argv=None):
         lm_params["text_linear"]["weight"] = quantize_weight_int8(
             lm_params["text_linear"]["weight"]
         )
-    from rstnet_tpu.ops.pallas_ffn import use_pallas_ffn
-
-    if use_pallas_ffn():
-        # align the depformer gating hidden dim for the fused decode FFN
-        # kernel (no-op for moshi_7b whose hidden is already 128-aligned)
-        from rstnet_tpu.modules.transformer import pad_codecformer_gating
-
-        lm_params = dict(lm_params)
-        lm_params["depformer"] = pad_codecformer_gating(lm_params["depformer"])
     lm_gen = LMGen(lm, delays=lm.delays, kv_int8=args.kv_int8)
     if args.batch:
         from rstnet_tpu.serving.batcher import SessionBatcher

@@ -213,6 +213,73 @@ def test_lmgen_kernel_path_matches_xla_path(monkeypatch):
     np.testing.assert_array_equal(got[0], ref[0])
 
 
+def test_dep_kernel_int8_matches_dequantized_reference():
+    from rstnet_tpu.modules.transformer import quantize_weight_int8
+
+    ops = _rand_ops(jax.random.PRNGKey(4))
+    L, S, C = ops["L"], ops["S"], ops["C"]
+    names = ("in_proj", "out_proj", "gin", "gout", "head_w")
+    q = {k: quantize_weight_int8(ops[k]) for k in names}
+    scales = {k: q[k]["scale"][..., None].astype(jnp.float32) for k in names}
+    # reference runs on the dequantized weights through the same math
+    deq_ops = {
+        **ops,
+        **{k: q[k]["w_int8"].astype(jnp.float32) * scales[k] for k in names},
+    }
+    x_steps = jax.random.normal(jax.random.PRNGKey(5), (S, 1, C))
+    kc = jnp.zeros((L, S, C), jnp.bfloat16)
+    vc = jnp.zeros((L, S, C), jnp.bfloat16)
+    want, _, _ = depformer_frame_reference(deq_ops, x_steps, kc, vc)
+    outs = []
+    for cb in range(S):
+        logits, kc, vc = depformer_step_pallas(
+            x_steps[cb], jnp.int32(cb),
+            ops["norm1"], q["in_proj"]["w_int8"], q["out_proj"]["w_int8"],
+            ops["norm2"], q["gin"]["w_int8"], q["gout"]["w_int8"],
+            q["head_w"]["w_int8"], ops["head_b"],
+            kc, vc, heads=ops["heads"], eps=ops["eps"], scales=scales,
+            interpret=True,
+        )
+        outs.append(logits)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(outs)), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_lmgen_kernel_path_int8(monkeypatch):
+    """quantize_for_serving params (padded first) stay inside the kernel
+    envelope: operands report scales and LMGen's kernel path runs."""
+    from rstnet_tpu.inference.generate import LMGen
+    from rstnet_tpu.models.lm import quantize_for_serving
+    from rstnet_tpu.modules.transformer import pad_codecformer_gating
+
+    model = _tiny_flagship()
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = {**params, "codecformer": pad_codecformer_gating(params["codecformer"])}
+    params_q = quantize_for_serving(model, params)
+    ops = depformer_kernel_operands(model, params_q)
+    assert ops is not None and ops["scales"] is not None
+
+    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q, use_sampling=False)
+
+    def run(p, n_frames=3):
+        state = gen.init_state(1)
+        key = jax.random.PRNGKey(1)
+        outs = []
+        for _ in range(n_frames):
+            key, sub = jax.random.split(key)
+            out, valid, state = gen.step(p, state, sub)
+            outs.append(np.asarray(out))
+        return np.stack(outs)
+
+    monkeypatch.setenv("RSTNET_PALLAS_DEP", "interpret")
+    got = run(params_q)
+    monkeypatch.setenv("RSTNET_PALLAS_DEP", "0")
+    ref = run(params_q)
+    assert got.shape == ref.shape
+    assert np.mean(got == ref) >= 0.75
+
+
 def test_dep_kernel_operands_gates_unsupported_configs():
     model = _tiny_flagship()
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
