@@ -209,10 +209,18 @@ def bench_8b(n_frames: int = 20) -> dict:
     )
     model = SpeechTextLM(cfg)
 
-    shapes = jax.eval_shape(
-        lambda k: quantize_for_serving(model, model.init(k, jnp.bfloat16)),
-        jax.random.PRNGKey(0),
-    )
+    from rstnet_tpu.modules.transformer import pad_codecformer_gating
+    from rstnet_tpu.ops.pallas_depformer import pallas_depformer_mode
+
+    def build(k):
+        p = model.init(k, jnp.bfloat16)
+        if pallas_depformer_mode() is not None:
+            # 128-align the gating stacks so the fused depformer micro-step
+            # kernel (int8-dequant variant) applies at 8B scale too
+            p = {**p, "codecformer": pad_codecformer_gating(p["codecformer"])}
+        return quantize_for_serving(model, p)
+
+    shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     key = jax.random.PRNGKey(1)
 
