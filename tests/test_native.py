@@ -68,22 +68,23 @@ def test_native_faster_than_stdlib(built, tmp_path):
     _write_wav_py(tmp_path / "long.wav", audio, sr)
     path = str(tmp_path / "long.wav")
 
-    t0 = time.perf_counter()
-    for _ in range(5):
-        native.read_wav(path)
-    t_native = time.perf_counter() - t0
-
-    from rstnet_tpu.utils import audio as A
-
     def stdlib_read():
         with wave.open(path, "rb") as f:
             raw = f.readframes(f.getnframes())
         return np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
 
-    t0 = time.perf_counter()
-    for _ in range(5):
-        stdlib_read()
-    t_py = time.perf_counter() - t0
+    def best_of(fn, n=7):
+        # min-of-N measures capability, immune to transient machine load
+        # (a mean/total races against whatever else runs on the box)
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_native = best_of(lambda: native.read_wav(path))
+    t_py = best_of(stdlib_read)
     # don't be flaky: just require the native path isn't drastically slower
     assert t_native < t_py * 3
 
