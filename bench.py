@@ -21,14 +21,11 @@ import jax.numpy as jnp
 
 # Persistent compilation cache: the Pallas depformer megakernel (default-on
 # for TPU) takes minutes to Mosaic-compile cold but seconds warm; a fresh
-# bench process must not pay that again. Same location tests/conftest.py uses.
-_CACHE_DIR = os.environ.get(
-    "RSTNET_JAX_CACHE", os.path.expanduser("~/.cache/rstnet_jax_cache")
-)
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# bench process must not pay that again. Host-safe setup shared with
+# tests/conftest.py (CPU entries are per-host-fingerprint).
+from rstnet_tpu.utils.jax_cache import setup_persistent_cache
+
+setup_persistent_cache()
 
 
 def bench_codec(seconds: float = 10.0, n: int = 10) -> dict:

@@ -24,15 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated (every test
 # jits tiny models), so caching compiled executables across runs cuts the
-# wall time from ~tens of minutes to a few. Safe on CPU; keyed on HLO +
-# compile options, so geometry changes simply miss the cache.
-_CACHE_DIR = os.environ.get(
-    "RSTNET_JAX_CACHE", os.path.expanduser("~/.cache/rstnet_jax_cache")
-)
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# wall time from ~tens of minutes to a few. CPU entries are isolated per
+# host fingerprint (see utils/jax_cache.py) — loading AOT executables built
+# on a different VM generation has segfaulted mid-suite.
+from rstnet_tpu.utils.jax_cache import setup_persistent_cache  # noqa: E402
+
+setup_persistent_cache()
 
 import pytest  # noqa: E402
 
