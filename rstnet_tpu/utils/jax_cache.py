@@ -87,6 +87,13 @@ def setup_persistent_cache(base_dir: str | None = None) -> str:
             base = os.path.join(base, f"cpu-{_host_fingerprint()}")
     os.makedirs(base, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", base)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # A small-but-nonzero write threshold: XLA:CPU's executable.serialize()
+    # has segfaulted nondeterministically after hundreds of writes in one
+    # process (observed twice, both times late in a cold full-suite run, in
+    # put_executable_and_time). Skipping the sub-100ms micro-compiles cuts
+    # the per-process write count several-fold at negligible warmth cost
+    # (those recompile faster than they deserialize); reads are unaffected,
+    # and a fully-warm cache performs no writes at all.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return base
