@@ -4,30 +4,49 @@ JAX's cache key covers the HLO and compile options but NOT the host
 microarchitecture, and XLA:CPU serializes ahead-of-time executables compiled
 for the build host's exact CPU features. Loading those on a different VM
 generation emits "could lead to SIGILL" warnings and has produced real
-segfaults mid-suite (observed in jax compilation_cache.put_executable_and_time
-after hundreds of feature-mismatched AOT loads).
+segfaults mid-suite — the crash happens inside the deserializer, so it kills
+the process before Python can catch anything (jax only recovers from cache
+reads that raise *exceptions*, see ``jax._src.compiler._cache_read``).
 
-Two tiers of safety:
+Defense in depth, in order:
 
-- **Portable mode** (default for the test suite / dryrun, which set
-  ``pin_portable_cpu_isa()`` before jax's backend initializes): codegen is
-  pinned to a baseline ISA via ``--xla_cpu_max_isa`` so the AOT executable
-  only requires features every host generation has; entries live in a shared
-  ``cpu-portable-<isa>`` subdirectory and stay warm across VM rotations.
-  This matters because CI VMs rotate between rounds: per-host isolation
-  alone means every round pays the full cold-compile cost again (tens of
-  minutes on this 1-vCPU machine).
-- **Fingerprint mode** (fallback when the pin was not applied in time):
-  entries live in a per-host-fingerprint subdirectory, trading warmth for
-  the guarantee that host-specific codegen is never loaded elsewhere.
+1. **Portable-ISA pin** — the test suite / dryrun call
+   :func:`pin_portable_cpu_isa` before jax's backend initializes, pinning
+   XLA:CPU codegen to a baseline ISA (``--xla_cpu_max_isa=AVX2``) so AOT
+   executables only need features every host generation has.
+2. **Tier gating on the parsed flag VALUE** — the shared
+   ``cpu-portable-avx2-*`` directory is selected only when the *last*
+   ``--xla_cpu_max_isa`` occurrence in ``XLA_FLAGS`` equals the canonical
+   baseline. Any other pin (or none) routes to a per-host-fingerprint tier,
+   so host-specific codegen can never land under the portable label.
+3. **Versioned tier names** — tier directories embed a schema version and
+   the jaxlib version, so entries written by an older layout (which may mix
+   native-ISA executables under the portable label — the exact poisoning
+   observed in round 2) or an incompatible serializer are never read.
+4. **Per-host validation of shared tiers** — the first time this host (by
+   CPU-feature fingerprint) opens the shared tier, every entry written since
+   the last validation is deserialized in a *sacrificial subprocess*
+   (``cache_validate.py``); an entry that segfaults the subprocess is
+   evicted and validation resumes after it. Only a tier this host has proven
+   it can deserialize is ever mounted.
 
 TPU entries are host-independent (the executable targets the chip, not the
-host CPU) and always share the base directory, so expensive Mosaic kernel
-compiles remain warm across VM rotations.
+host CPU) and stale ones fail with clean exceptions that jax turns into
+recompiles, so the TPU tier needs no validation — it keeps expensive Mosaic
+kernel compiles warm across VM rotations.
+
+Replaces: the reference has no compilation cache (PyTorch eager/torch.compile
+re-JITs per process); this subsystem exists because the CI suite is
+compile-dominated on a 1-vCPU host.
 """
 
 import hashlib
 import os
+import subprocess
+import sys
+import tempfile
+import time
+import warnings
 
 import jax
 
@@ -40,23 +59,64 @@ PORTABLE_CPU_ISA = "AVX2"
 
 _ISA_FLAG = "--xla_cpu_max_isa"
 
+#: Tier layout schema. Bump to orphan every previously written tier (e.g.
+#: when the naming rules or validation protocol change incompatibly).
+TIER_SCHEMA = 2
 
-def pin_portable_cpu_isa() -> None:
+#: Give up and drop all remaining unvalidated entries after this many
+#: subprocess crashes — a tier that poisoned is cheaper to recompile.
+_MAX_EVICTIONS = 50
+
+
+def _parse_isa_pin(flags: str | None = None) -> str | None:
+    """The value of the last ``--xla_cpu_max_isa`` occurrence, or None.
+
+    XLA honors the last occurrence of a repeated flag, so so do we. A bare
+    ``--xla_cpu_max_isa`` with no value is treated as unpinned.
+    """
+    if flags is None:
+        flags = os.environ.get("XLA_FLAGS", "")
+    value = None
+    for tok in flags.split():
+        if tok.startswith(_ISA_FLAG + "="):
+            value = tok.split("=", 1)[1]
+    return value or None
+
+
+def pin_portable_cpu_isa() -> bool:
     """Pin XLA:CPU codegen to the baseline ISA (call BEFORE jax backend init).
 
     Appends ``--xla_cpu_max_isa=AVX2`` to ``XLA_FLAGS`` so compiled (and
-    cached) CPU executables are portable across host generations. Must run
-    before the first jax backend use in the process; later calls are no-ops
-    for that process, which is why callers that re-exec (the multichip
-    dryrun) propagate XLA_FLAGS to the child environment.
+    cached) CPU executables are portable across host generations. Returns
+    True when the portable pin is in effect for this process.
+
+    - If an ISA pin is already present, it is respected (never overridden);
+      the return value says whether it happens to equal the baseline.
+    - If jax's backend already initialized, mutating ``XLA_FLAGS`` can no
+      longer change codegen, so this warns and returns False instead of
+      silently mislabeling native executables as portable.
     """
+    current = _parse_isa_pin()
+    if current is not None:
+        return current.upper() == PORTABLE_CPU_ISA
+    from jax._src import xla_bridge
+
+    if xla_bridge.backends_are_initialized():
+        warnings.warn(
+            "pin_portable_cpu_isa() called after jax backend initialization; "
+            "codegen is already native — falling back to the per-host cache "
+            "tier for safety",
+            stacklevel=2,
+        )
+        return False
     flags = os.environ.get("XLA_FLAGS", "")
-    if _ISA_FLAG not in flags:
-        os.environ["XLA_FLAGS"] = f"{flags} {_ISA_FLAG}={PORTABLE_CPU_ISA}".strip()
+    os.environ["XLA_FLAGS"] = f"{flags} {_ISA_FLAG}={PORTABLE_CPU_ISA}".strip()
+    return True
 
 
 def _portable_pin_active() -> bool:
-    return _ISA_FLAG in os.environ.get("XLA_FLAGS", "")
+    pin = _parse_isa_pin()
+    return pin is not None and pin.upper() == PORTABLE_CPU_ISA
 
 
 def _host_fingerprint() -> str:
@@ -75,18 +135,172 @@ def _host_fingerprint() -> str:
     return hashlib.sha1(blob.encode()).hexdigest()[:12]
 
 
-def setup_persistent_cache(base_dir: str | None = None) -> str:
+def _jaxlib_tag() -> str:
+    import jaxlib
+
+    return jaxlib.__version__.replace(".", "_")
+
+
+def _cleanup_legacy_layout(base: str) -> None:
+    """Remove pre-schema-2 artifacts from the cache base directory.
+
+    - Loose ``*-cache`` entry files in the base dir (written before tiers
+      existed; an unidentifiable mix of CPU and TPU-plugin entries — the CPU
+      ones are the lethal class, so all are dropped).
+    - Legacy tier directories (``cpu-portable-<isa>``, ``cpu-<fp>`` without
+      a schema/jaxlib suffix): the portable one is known to mix pre-pin
+      native-ISA entries under the portable label.
+    """
+    import re
+    import shutil
+
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    legacy_dir = re.compile(r"^cpu(-portable)?-[0-9a-z]+$")
+    for name in names:
+        path = os.path.join(base, name)
+        try:
+            if os.path.isfile(path) and name.endswith("-cache"):
+                os.unlink(path)
+            elif os.path.isdir(path) and legacy_dir.match(name):
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def _validator_script() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "cache_validate.py")
+
+
+def _validate_shared_tier(tier: str, timeout: float = 900.0) -> None:
+    """Prove this host can deserialize every entry in a shared tier.
+
+    Entries newer than this host's validation marker are deserialized in a
+    sacrificial subprocess. A crash (SIGSEGV in XLA's AOT loader) evicts the
+    in-progress entry and validation resumes after it; entries that fail
+    with clean exceptions are evicted by the subprocess itself. The marker
+    (``.validated/<fingerprint>-<jaxlib>``) is touched on success, so a
+    fully validated tier costs one listdir per process.
+    """
+    marker_dir = os.path.join(tier, ".validated")
+    os.makedirs(marker_dir, exist_ok=True)
+    marker = os.path.join(marker_dir, f"{_host_fingerprint()}-{_jaxlib_tag()}")
+    try:
+        marker_mtime = os.stat(marker).st_mtime
+    except OSError:
+        marker_mtime = -1.0
+
+    now = time.time()
+    entries = []
+    for name in os.listdir(tier):
+        path = os.path.join(tier, name)
+        if not (name.endswith("-cache") and os.path.isfile(path)):
+            continue
+        try:
+            if os.stat(path).st_mtime > marker_mtime:
+                entries.append(name)
+        except OSError:
+            pass
+    if not entries:
+        with open(marker, "a"):
+            os.utime(marker, (now, now))
+        return
+
+    entries.sort()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # match the device count the suite/dryrun writers use, so executables
+    # compiled for the 8-device virtual mesh can be loaded
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags += " --xla_force_host_platform_device_count=8"
+    env["XLA_FLAGS"] = flags.strip()
+
+    with tempfile.TemporaryDirectory(prefix="rstnet-cachecheck-") as tmp:
+        listfile = os.path.join(tmp, "entries.txt")
+        progress = os.path.join(tmp, "progress.txt")
+        with open(listfile, "w") as f:
+            f.write("\n".join(entries))
+        start = 0
+        evicted = 0
+        while start < len(entries):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, _validator_script(), tier, listfile,
+                     progress, str(start)],
+                    env=env, timeout=timeout,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                rc = proc.returncode
+            except subprocess.TimeoutExpired:
+                rc = -1
+            if rc == 0:
+                break
+            # crashed or hung: evict the entry it was working on, resume after
+            bad_idx = start
+            try:
+                with open(progress) as f:
+                    bad_idx = int(f.read().split()[0])
+            except (OSError, ValueError, IndexError):
+                pass
+            try:
+                os.unlink(os.path.join(tier, entries[bad_idx]))
+            except OSError:
+                pass
+            evicted += 1
+            warnings.warn(
+                f"evicted compile-cache entry that crashed this host's "
+                f"deserializer: {entries[bad_idx]}",
+                stacklevel=2,
+            )
+            start = bad_idx + 1
+            if evicted >= _MAX_EVICTIONS:
+                # poisoned tier: drop everything not yet proven
+                for name in entries[start:]:
+                    try:
+                        os.unlink(os.path.join(tier, name))
+                    except OSError:
+                        pass
+                break
+    with open(marker, "a"):
+        os.utime(marker, (now, now))
+
+
+def setup_persistent_cache(
+    base_dir: str | None = None, validate: bool = True
+) -> str:
     """Enable the persistent compilation cache; returns the directory used."""
     base = base_dir or os.environ.get(
         "RSTNET_JAX_CACHE", os.path.expanduser("~/.cache/rstnet_jax_cache")
     )
-    if jax.default_backend() == "cpu":
-        if _portable_pin_active():
-            base = os.path.join(base, f"cpu-portable-{PORTABLE_CPU_ISA.lower()}")
-        else:
-            base = os.path.join(base, f"cpu-{_host_fingerprint()}")
     os.makedirs(base, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", base)
+    _cleanup_legacy_layout(base)
+    backend = jax.default_backend()
+    if backend == "cpu":
+        if _portable_pin_active():
+            tier = os.path.join(
+                base,
+                f"cpu-portable-{PORTABLE_CPU_ISA.lower()}"
+                f"-v{TIER_SCHEMA}-jaxlib{_jaxlib_tag()}",
+            )
+            shared = True
+        else:
+            tier = os.path.join(
+                base,
+                f"cpu-{_host_fingerprint()}-v{TIER_SCHEMA}-jaxlib{_jaxlib_tag()}",
+            )
+            shared = False
+    else:
+        # chip-targeted executables: host-independent, and stale/mismatched
+        # entries fail with clean exceptions jax converts into recompiles
+        tier = os.path.join(base, f"{backend}-v{TIER_SCHEMA}")
+        shared = False
+    os.makedirs(tier, exist_ok=True)
+    if shared and validate:
+        _validate_shared_tier(tier)
+    jax.config.update("jax_compilation_cache_dir", tier)
     # A small-but-nonzero write threshold: XLA:CPU's executable.serialize()
     # has segfaulted nondeterministically after hundreds of writes in one
     # process (observed twice, both times late in a cold full-suite run, in
@@ -96,4 +310,4 @@ def setup_persistent_cache(base_dir: str | None = None) -> str:
     # and a fully-warm cache performs no writes at all.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    return base
+    return tier

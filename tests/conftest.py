@@ -11,14 +11,17 @@ import sys
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_max_isa" not in os.environ["XLA_FLAGS"]:
-    # Pin CPU codegen to a portable baseline ISA so persistent-cache entries
-    # survive CI VM rotation (see utils/jax_cache.py); must precede jax
-    # backend init, hence inline rather than via pin_portable_cpu_isa().
-    os.environ["XLA_FLAGS"] += " --xla_cpu_max_isa=AVX2"
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Pin CPU codegen to a portable baseline ISA so persistent-cache entries
+# survive CI VM rotation (see utils/jax_cache.py). Importing the module pulls
+# in jax but does NOT initialize its backend, so the pin still precedes
+# codegen configuration.
+from rstnet_tpu.utils.jax_cache import pin_portable_cpu_isa  # noqa: E402
+
+pin_portable_cpu_isa()
 
 import jax  # noqa: E402
 
