@@ -10,6 +10,13 @@ data_root=${data_root:-data/moshi_ft}
 exp_dir=${exp_dir:-exp/moshi_ft}
 raw_scp=${raw_scp:-$data_root/raw_wav.scp}
 mimi_ckpt=${mimi_ckpt:-}
+# text tokenizer checkpoint dir (HF tokenizer.json or sentencepiece); when
+# set, stage 1 runs whisperX ASR and stage 2 renders word-aligned text into
+# row 0 of the duplex grids (reference run.sh:138-147 ASR + utt2json stage)
+text_tokenizer=${text_tokenizer:-}
+# utt2json scp '<utt>_chN <whisperx.json>' for Fisher-style stereo corpora
+# with precomputed alignments
+text_scp=${text_scp:-}
 nj=${nj:-8}
 
 if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
@@ -18,11 +25,12 @@ if [ $stage -le 1 ] && [ $stop_stage -ge 1 ]; then
   # conversational prep: speaker turns (pyannote when installed), denoise
   # (DeepFilterNet when installed), super-resolution to 24 kHz, and duplex
   # session packing for the 17-stream format
-  cat > "$data_root/pipeline.json" <<'EOF'
+  cat > "$data_root/pipeline.json" <<EOF
 {
   "use_diarization": true,
   "use_denoise": true,
   "use_super_resolution": true,
+  "use_asr": $([ -n "$text_tokenizer" ] && echo true || echo false),
   "merge_sessions": true,
   "session_chunk_s": 60.0
 }
@@ -39,7 +47,8 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
     python -m rstnet_tpu.tools.offline_tokenization \
         --sessions "$data_root/segments/sessions.json" \
         --output "$data_root/tokens/audio.1.npz" \
-        --mode duplex ${mimi_ckpt:+--mimi-checkpoint "$mimi_ckpt"}
+        --mode duplex ${mimi_ckpt:+--mimi-checkpoint "$mimi_ckpt"} \
+        ${text_tokenizer:+--tokenizer-dir "$text_tokenizer"}
   else
     # Fisher-style stereo recordings: one conversation side per channel
     python -m rstnet_tpu.tools.scp_tools split "$data_root/segments/wav.scp" "$nj" \
@@ -48,7 +57,9 @@ if [ $stage -le 2 ] && [ $stop_stage -ge 2 ]; then
         python -m rstnet_tpu.tools.offline_tokenization \
           --scp "$data_root/split/wav.JOB.scp" \
           --output "$data_root/tokens/audio.JOB.npz" \
-          --mode duplex ${mimi_ckpt:+--mimi-checkpoint "$mimi_ckpt"}
+          --mode duplex ${mimi_ckpt:+--mimi-checkpoint "$mimi_ckpt"} \
+          ${text_tokenizer:+--tokenizer-dir "$text_tokenizer"} \
+          ${text_scp:+--text-scp "$text_scp"}
   fi
   for f in "$data_root"/tokens/audio.*.npz; do
     job=$(basename "$f" .npz | cut -d. -f2)

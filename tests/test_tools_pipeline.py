@@ -110,28 +110,46 @@ def test_wav_dir_to_scp(tmp_path):
     assert n == 3
 
 
+class _FakeMimiTok:
+    """Deterministic stand-in: code value = scaled channel energy, so
+    channel routing is observable (random-init Mimi collapses codes)."""
+
+    sr = 24000
+
+    def __init__(self, *a, **k):
+        pass
+
+    def tokenize(self, wav, sample_rate=None):
+        n = max(1, int(np.ceil(len(np.ravel(wav)) / 1920)))
+        val = int(np.abs(wav).sum()) % 100
+        return np.full((8, n), val, np.int16)
+
+
+def _write_word_tokenizer(tmp_path):
+    """Minimal real HF tokenizer: byte-level word vocab so the word-boundary
+    grouping ('Ġ' prefixes) in TextTokenizer is exercised for real."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {"[UNK]": 0, "Ġhello": 11, "Ġworld": 13, "Ġhi": 17}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="[UNK]"))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+    d = tmp_path / "texttok"
+    d.mkdir(exist_ok=True)
+    tok.save(str(d / "tokenizer.json"))
+    return str(d)
+
+
 def test_duplex_tokenization_stereo_and_sessions(tmp_path, monkeypatch):
-    """Both duplex forms produce pre-stacked [17, T] moshi_ft grids, with
-    each conversation side routed to its own codebook block."""
+    """Both duplex forms produce a pre-stacked [17, T] moshi_ft grid per
+    conversation side (utt_ch0/utt_ch1), each side's own codes on the Moshi
+    block (rows 1-8) — the reference's two-example storage contract
+    (MLLM/egs/moshi_ft/data_scripts/offline_tokenization.py:139-155)."""
     from rstnet_tpu.data.collate import SpecialTokens
     from rstnet_tpu.tools import offline_tokenization as ot
 
     sr = 24000
-
-    class FakeTok:
-        """Deterministic stand-in: code value = scaled channel energy, so
-        channel routing is observable (random-init Mimi collapses codes)."""
-
-        def __init__(self, *a, **k):
-            self.sr = sr
-
-        def tokenize(self, wav, sample_rate=None):
-            n = max(1, int(np.ceil(len(np.ravel(wav)) / 1920)))
-            val = int(np.abs(wav).sum()) % 100
-            return np.full((8, n), val, np.int16)
-
     monkeypatch.setattr(
-        "rstnet_tpu.data.tokenizers.mimi_tokenizer.MimiTokenizer", FakeTok
+        "rstnet_tpu.data.tokenizers.mimi_tokenizer.MimiTokenizer", _FakeMimiTok
     )
 
     t = np.arange(sr) / sr
@@ -149,14 +167,17 @@ def test_duplex_tokenization_stereo_and_sessions(tmp_path, monkeypatch):
         "--output", str(tmp_path / "duplex.npz"), "--mode", "duplex",
     ])
     shard = np.load(tmp_path / "duplex.npz")
-    g0 = shard["conv0"]
+    g0 = shard["conv0_ch0"]
     assert g0.shape[0] == 17 and g0.shape[1] == 13  # 1 s -> ceil(12.5) frames
     assert (g0[0] == SpecialTokens.text_pad).all()
-    # the louder right channel lands on the assistant block, distinct codes
+    # distinct channels land on distinct blocks; _ch1 is the swapped view
     assert not np.array_equal(g0[1:9], g0[9:17])
-    # mono input: user side matches, assistant side is the silent channel
-    g1 = shard["conv1"]
-    assert g1.shape[0] == 17
+    g0b = shard["conv0_ch1"]
+    assert np.array_equal(g0b[1:9], g0[9:17])
+    assert np.array_equal(g0b[9:17], g0[1:9])
+    # mono input: only the _ch0 example, silent peer on the user block
+    assert "conv1_ch1" not in shard
+    g1 = shard["conv1_ch0"]
     assert np.array_equal(g0[1:9], g1[1:9])
     assert (g1[9:17] == 0).all()
 
@@ -168,8 +189,10 @@ def test_duplex_tokenization_stereo_and_sessions(tmp_path, monkeypatch):
     sessions = [{
         "start": 10.0, "end": 11.0, "speakers": ["S0", "S1"],
         "segments": [
-            {"utt": "a", "path": str(seg_a), "start": 10.0, "speaker": "S0"},
-            {"utt": "b", "path": str(seg_b), "start": 10.5, "speaker": "S1"},
+            {"utt": "a", "path": str(seg_a), "start": 10.0, "end": 10.5,
+             "speaker": "S0"},
+            {"utt": "b", "path": str(seg_b), "start": 10.5, "end": 11.0,
+             "speaker": "S1"},
         ],
     }]
     (tmp_path / "sessions.json").write_text(json.dumps(sessions))
@@ -177,7 +200,120 @@ def test_duplex_tokenization_stereo_and_sessions(tmp_path, monkeypatch):
         "--sessions", str(tmp_path / "sessions.json"),
         "--output", str(tmp_path / "sess.npz"), "--mode", "duplex",
     ])
-    g = np.load(tmp_path / "sess.npz")["session_000000"]
+    sess_shard = np.load(tmp_path / "sess.npz")
+    g = sess_shard["session_000000_ch0"]
     assert g.shape[0] == 17 and g.shape[1] == 13
     assert (g[0] == SpecialTokens.text_pad).all()
     assert not np.array_equal(g[1:9], g[9:17])
+    gb = sess_shard["session_000000_ch1"]
+    assert np.array_equal(gb[1:9], g[9:17])
+
+
+def test_duplex_sessions_text_alignment_golden(tmp_path, monkeypatch):
+    """ASR word timestamps from the pipeline land in row 0, shifted to
+    session time: known words at known times -> exact text/epad/pad frames
+    (VERDICT r2 item 2; reference MLLM/utils/task_definition.py:57-69 +
+    Text2ID pad_tokens semantics)."""
+    from rstnet_tpu.data.collate import SpecialTokens
+    from rstnet_tpu.tools import offline_tokenization as ot
+
+    sr = 24000
+    monkeypatch.setattr(
+        "rstnet_tpu.data.tokenizers.mimi_tokenizer.MimiTokenizer", _FakeMimiTok
+    )
+    tok_dir = _write_word_tokenizer(tmp_path)
+
+    wav = 0.3 * np.sin(2 * np.pi * 300 * np.arange(sr // 2) / sr)
+    seg_a = tmp_path / "a.wav"
+    seg_b = tmp_path / "b.wav"
+    write_wav(str(seg_a), wav.astype(np.float32), sr)
+    write_wav(str(seg_b), (2 * wav).astype(np.float32), sr)
+    sessions = [{
+        "start": 10.0, "end": 11.0, "speakers": ["S0", "S1"],
+        "segments": [
+            {"utt": "a", "path": str(seg_a), "start": 10.0, "end": 10.5,
+             "speaker": "S0",
+             # whisperX alignment, clip-relative times
+             "segments": [{
+                 "text": "hello world",
+                 "words": [
+                     {"word": "hello", "start": 0.08, "end": 0.2},
+                     {"word": "world", "start": 0.32, "end": 0.45},
+                 ],
+             }]},
+            {"utt": "b", "path": str(seg_b), "start": 10.5, "end": 11.0,
+             "speaker": "S1",
+             "segments": [{
+                 "text": "hi",
+                 "words": [{"word": "hi", "start": 0.04, "end": 0.2}],
+             }]},
+        ],
+    }]
+    (tmp_path / "sessions.json").write_text(json.dumps(sessions))
+    n = ot.tokenize_duplex_sessions(
+        str(tmp_path / "sessions.json"), str(tmp_path / "sess.npz"),
+        tokenizer_dir=tok_dir,
+    )
+    assert n == 2
+    shard = np.load(tmp_path / "sess.npz")
+    pad, epad = SpecialTokens.text_pad, SpecialTokens.text_empty_pad
+    # ch0 (S0 as Moshi): "hello" at session 0.08s -> frame 1, "world" at
+    # 0.32s -> frame 4; epad one frame before each word
+    row = shard["session_000000_ch0"][0]
+    expect = np.full(13, pad, np.int32)
+    expect[0], expect[1] = epad, 11   # hello
+    expect[3], expect[4] = epad, 13   # world
+    np.testing.assert_array_equal(row, expect)
+    # ch1 (S1 as Moshi): "hi" at clip 0.04s + 0.5s shift -> frame 7
+    row1 = shard["session_000000_ch1"][0]
+    expect1 = np.full(13, pad, np.int32)
+    expect1[6], expect1[7] = epad, 17  # hi
+    np.testing.assert_array_equal(row1, expect1)
+
+
+def test_duplex_sessions_three_speakers_dropped(tmp_path, monkeypatch, caplog):
+    """A 3rd speaker's segments are dropped (2-channel format) with a
+    warning; the two most-speaking speakers keep their channels."""
+    import logging as _logging
+
+    from rstnet_tpu.tools import offline_tokenization as ot
+
+    sr = 24000
+    monkeypatch.setattr(
+        "rstnet_tpu.data.tokenizers.mimi_tokenizer.MimiTokenizer", _FakeMimiTok
+    )
+    wav = 0.3 * np.sin(2 * np.pi * 300 * np.arange(sr // 2) / sr)
+    paths = {}
+    for name, scale in (("a", 1.0), ("b", 2.0), ("c", 3.0)):
+        p = tmp_path / f"{name}.wav"
+        write_wav(str(p), (scale * wav).astype(np.float32), sr)
+        paths[name] = str(p)
+    sessions = [{
+        "start": 0.0, "end": 1.5, "speakers": ["S0", "S1", "S2"],
+        "segments": [
+            {"utt": "a", "path": paths["a"], "start": 0.0, "end": 0.5,
+             "speaker": "S0"},
+            {"utt": "b", "path": paths["b"], "start": 0.5, "end": 0.95,
+             "speaker": "S1"},
+            {"utt": "c", "path": paths["c"], "start": 1.0, "end": 1.1,
+             "speaker": "S2"},  # least speech -> dropped
+        ],
+    }]
+    (tmp_path / "sessions.json").write_text(json.dumps(sessions))
+    with caplog.at_level(_logging.WARNING):
+        n = ot.tokenize_duplex_sessions(
+            str(tmp_path / "sessions.json"), str(tmp_path / "sess.npz")
+        )
+    assert n == 2
+    assert any("dropping 1 segment(s)" in r.message for r in caplog.records)
+    g = np.load(tmp_path / "sess.npz")["session_000000_ch0"]
+    # S2's clip was never rendered: each channel's fake code equals the abs
+    # sum of just its kept speaker's audio (as written to disk, so the int16
+    # roundtrip cancels out)
+    va = int(np.abs(read_wav(paths["a"])[0][0]).sum()) % 100
+    vb = int(np.abs(read_wav(paths["b"])[0][0]).sum()) % 100
+    assert (g[1:9] == va).all()
+    assert (g[9:17] == vb).all()
+    # direct check: channel map keeps the two most-speaking speakers
+    cm = ot._session_channel_map(sessions[0], "t")
+    assert cm == {"S0": 0, "S1": 1}
