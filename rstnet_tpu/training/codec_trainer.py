@@ -8,11 +8,21 @@ rotating checkpoints, periodic validation, and TensorBoard-style logging via
 the Reporter.
 
 TPU-first notes: the G and D updates are two jitted steps over explicit
-state; EMA codebook buffers ride the G step as state (their batch statistics
-are computed over the global sharded batch, replacing the reference's
-dist.all_reduce of VQ stats); the D step reuses the stop-gradient
-reconstruction instead of re-running the generator forward
+state; EMA codebook buffers ride the G step as state; the D step reuses the
+stop-gradient reconstruction instead of re-running the generator forward
 (``train.py:267`` re-forwards — pure waste).
+
+Distributed training (``--dp N``, replacing the reference's DDP +
+dist.all_reduce of VQ stats, ``AudioCodec/MimiCodec/train.py:96-151`` +
+``quantization/core_vq.py:20-81``): params/optimizer state are replicated
+over a ``data``-axis mesh and each batch is sharded on its leading axis.
+Because the jitted steps are written over the GLOBAL batch, GSPMD inserts
+the gradient all-reduce AND makes the EMA codebook statistics
+(``one_hot.T @ x`` / usage sums in ``quantization/codebook.py:61-84``)
+global sums automatically — no explicit collective in the trainer at all.
+Mesh-invariance is asserted by ``tests/test_codec_training.py`` (G/D params
+and EMA buffers match the single-device run bit-for-tolerance) and the
+driver's ``dryrun_multichip`` codec phase.
 """
 
 from __future__ import annotations
@@ -182,6 +192,10 @@ def main(argv=None):
                         choices=["wavlm", "hubert", "whisper", "w2v-bert", "none"])
     parser.add_argument("--semantic_checkpoint", default="")
     parser.add_argument("--max_steps", type=int, default=-1)
+    parser.add_argument("--dp", type=int, default=1,
+                        help="data-parallel devices (-1 = all); batches are "
+                             "sharded over a 'data' mesh axis, VQ EMA stats "
+                             "become global sums under GSPMD")
     args = parser.parse_args(argv)
     # 'precomputed' is a library-level teacher (features flow through
     # g_step's features arg after offline extraction); this CLI's audio
@@ -241,6 +255,30 @@ def main(argv=None):
                "step": jnp.zeros((), jnp.int32)}
     d_state = {"params": d_params, "opt_state": d_tx.init(d_params)}
 
+    # data-parallel mesh: states replicated, batches sharded on axis 0; the
+    # jitted steps stay global-batch semantics, so XLA inserts the gradient
+    # all-reduce and globalizes the VQ EMA sums (see module docstring)
+    mesh = None
+    if args.dp == -1:
+        args.dp = len(jax.devices())
+    if args.dp > 1:
+        from rstnet_tpu.parallel.mesh import make_mesh
+        from rstnet_tpu.parallel.sharding import batch_sharding, replicated
+
+        if cfg.get("batch_size", 4) % args.dp:
+            raise ValueError(
+                f"batch_size {cfg.get('batch_size', 4)} not divisible by "
+                f"--dp {args.dp}"
+            )
+        mesh = make_mesh({"data": args.dp}, devices=jax.devices()[: args.dp])
+        logging.info(f"codec trainer mesh: {dict(mesh.shape)}")
+        g_state = jax.device_put(g_state, replicated(mesh))
+        d_state = jax.device_put(d_state, replicated(mesh))
+
+    def put_batch(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim)) if mesh is not None else x
+
     # auto-resume
     ckpt = latest_checkpoint(args.exp_dir)
     global_steps = 0
@@ -278,14 +316,15 @@ def main(argv=None):
             for audio_24k, audio_16k in train_iter:
                 features = (
                     None if args.semantic_teacher == "none"
-                    else jnp.asarray(teacher.extract(audio_16k))
+                    else put_batch(teacher.extract(audio_16k))
                 )
                 key, sub_key = jax.random.split(key)
+                audio_24k = put_batch(audio_24k)
                 g_state, rec, g_items = g_step(
-                    g_state, d_state["params"], jnp.asarray(audio_24k), features,
+                    g_state, d_state["params"], audio_24k, features,
                     sub_key, use_adv=global_steps > disc_start,
                 )
-                d_state, d_items = d_step(d_state, jnp.asarray(audio_24k), rec)
+                d_state, d_items = d_step(d_state, audio_24k, rec)
                 global_steps += 1
                 sub.register({k: float(v) for k, v in {**g_items, **d_items}.items()})
                 sub.next()
@@ -301,7 +340,7 @@ def main(argv=None):
                 if valid_iter is not None and global_steps % cfg.get("validation_interval", 5000) == 0:
                     with reporter.observe("valid") as vsub:
                         for v24, _ in valid_iter:
-                            m = eval_step(g_state["params"], g_state["buffers"], jnp.asarray(v24))
+                            m = eval_step(g_state["params"], g_state["buffers"], put_batch(v24))
                             vsub.register({k: float(v) for k, v in m.items()})
                             vsub.next()
                     logging.info(reporter.log_message())

@@ -104,23 +104,25 @@ def test_generator_loss_composition():
     assert float(sc_close) < float(sc_far)
 
 
-@pytest.mark.slow
-def test_codec_trainer_end_to_end(tmp_path):
-    """Two GAN steps on synthetic audio through the real CLI."""
-    import yaml
-
-    from rstnet_tpu.training import codec_trainer
+def _tiny_codec_setup(tmp_path, n_wavs=4, batch_size=2):
+    """Synthetic wavs + a tiny yaml config for trainer CLI tests."""
     from rstnet_tpu.utils.audio import write_wav
 
     sr = 2400
     rng = np.random.default_rng(0)
     wavs = []
-    for i in range(4):
+    for i in range(n_wavs):
         path = tmp_path / f"w{i}.wav"
         write_wav(str(path), 0.2 * rng.normal(0, 1, sr).astype(np.float32), sr)
         wavs.append(str(path))
     (tmp_path / "train.scp").write_text("\n".join(wavs))
-    config = {
+    config = _tiny_codec_config(sr)
+    config["batch_size"] = batch_size
+    return config
+
+
+def _tiny_codec_config(sr):
+    return {
         "generator": {"name": "MimiCodec", "config": {
             "sample_rate": sr, "n_filters": 4, "encoder_rates": [4, 3],
             "latent_dim": 32, "codebook_size": 16, "codebook_dim": 8,
@@ -145,6 +147,16 @@ def test_codec_trainer_end_to_end(tmp_path):
         "segment_size": 1200, "batch_size": 2, "num_epoches": 1,
         "checkpoint_interval": 2, "print_freq": 1, "discriminator_iter_start": 0,
     }
+
+
+@pytest.mark.slow
+def test_codec_trainer_end_to_end(tmp_path):
+    """Two GAN steps on synthetic audio through the real CLI."""
+    import yaml
+
+    from rstnet_tpu.training import codec_trainer
+
+    config = _tiny_codec_setup(tmp_path)
     cfg_path = tmp_path / "config.yaml"
     cfg_path.write_text(yaml.safe_dump(config))
     g_state, d_state = codec_trainer.main([
@@ -154,3 +166,87 @@ def test_codec_trainer_end_to_end(tmp_path):
     ])
     assert int(g_state["step"]) == 2
     assert any(p.name.endswith(".checkpoint") for p in (tmp_path / "exp").iterdir())
+
+
+@pytest.mark.slow
+def test_codec_trainer_mesh_invariance(tmp_path):
+    """Distributed codec GAN training (--dp 8) matches the single-device
+    run: G/D params AND the VQ EMA codebook buffers after 2 steps (VERDICT
+    r2 item 3; replaces the reference's DDP + dist.all_reduce VQ sync,
+    AudioCodec/MimiCodec/quantization/core_vq.py:20-81)."""
+    import yaml
+
+    from rstnet_tpu.training import codec_trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    config = _tiny_codec_setup(tmp_path, batch_size=8)
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+
+    def run(dp, tag):
+        g_state, d_state = codec_trainer.main([
+            "--config", str(cfg_path), "--exp_dir", str(tmp_path / f"exp_{tag}"),
+            "--train_scp", str(tmp_path / "train.scp"),
+            "--semantic_teacher", "none", "--max_steps", "2", "--dp", str(dp),
+        ])
+        return (
+            jax.tree.map(np.asarray, g_state["params"]),
+            jax.tree.map(np.asarray, g_state["buffers"]),
+            jax.tree.map(np.asarray, d_state["params"]),
+        )
+
+    ref = run(1, "dp1")
+    dist = run(8, "dp8")
+    for name, a_tree, b_tree in (
+        ("g_params", ref[0], dist[0]),
+        ("ema_buffers", ref[1], dist[1]),
+        ("d_params", ref[2], dist[2]),
+    ):
+        worst = max(
+            float(np.max(np.abs(a - b))) if a.size else 0.0
+            for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree))
+        )
+        assert worst < 5e-3, (name, worst)
+
+
+def test_vq_ema_psum_matches_global():
+    """The shard_map psum path of ema_update equals the single-device global
+    update — the explicit-collective variant of the VQ sync."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from rstnet_tpu.parallel.mesh import make_mesh
+    from rstnet_tpu.quantization.codebook import EuclideanCodebook
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    cb = EuclideanCodebook(dim=8, codebook_size=16)
+    params = cb.init(jax.random.PRNGKey(0))
+    # pre-train state: random centroids so assignments are meaningful
+    params["embedding_sum"] = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, 8))
+    codes = cb.quantize(params, x)
+    ref, _ = cb.ema_update(params, x, codes)
+
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+
+    @jax.jit
+    def sharded(params, x, codes):
+        def inner(p, xs, cs):
+            new, _ = cb.ema_update(p, xs, cs, axis_name="data")
+            return new
+
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")), out_specs=P(),
+            check_vma=False,
+        )(params, x, codes)
+
+    out = sharded(params, x, codes)
+    for k in ("cluster_usage", "embedding_sum"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-5, atol=1e-5
+        )
