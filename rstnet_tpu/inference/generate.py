@@ -215,3 +215,48 @@ class LMGen:
         valid = age > self.max_delay  # [B]
         new_state = {"cache": cache, "offset": offset, "age": age, "lm": lm_state}
         return out, valid, new_state
+
+    def step_scan(
+        self,
+        params: Params,
+        state: State,
+        key: jax.Array,
+        input_tokens: Optional[jax.Array] = None,
+        n_frames: Optional[int] = None,
+    ) -> tuple[jax.Array, jax.Array, State]:
+        """N frame steps in ONE dispatch (``lax.scan`` over :meth:`step`).
+
+        input_tokens: [B, num_user_streams, N] (or None when no user
+        streams, with ``n_frames`` giving N). Returns (frames
+        [B, dep_q+1, N], valid [B, N], state) — token-identical to N
+        :meth:`step` calls with the keys ``jax.random.split(key, N)``.
+
+        Serving uses this when the session buffer holds several pending
+        frames (file streaming, offline generation, catch-up after a
+        stall): per-dispatch overhead — which dominates the per-call
+        amortized latency on a remotely-attached chip — is paid once per N
+        frames instead of once per frame. The depformer megakernel and the
+        backbone compile once inside the scan body (vs N unrolled copies).
+        """
+        if input_tokens is not None:
+            n = input_tokens.shape[-1]
+            inputs = jnp.moveaxis(input_tokens[..., None], 2, 0)  # [N, B, U, 1]
+        else:
+            assert n_frames is not None, "n_frames required without user streams"
+            n = n_frames
+            inputs = None
+        keys = jax.random.split(key, n)
+
+        def body(st, xs):
+            if inputs is None:
+                k = xs
+                out, valid, st = self.step(params, st, k)
+            else:
+                k, tok = xs
+                out, valid, st = self.step(params, st, k, tok)
+            return st, (out[..., 0], valid)
+
+        xs = keys if inputs is None else (keys, inputs)
+        state, (outs, valids) = jax.lax.scan(body, state, xs)
+        # [N, B, dep_q+1] -> [B, dep_q+1, N]; [N, B] -> [B, N]
+        return jnp.moveaxis(outs, 0, 2), valids.T, state

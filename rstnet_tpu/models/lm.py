@@ -398,6 +398,25 @@ def quantize_for_serving(model: SpeechTextLM, params: Params) -> Params:
     return out
 
 
+def quantize_dep_for_serving(params: Params) -> Params:
+    """int8 the depformer slice ONLY (codecformer projections/gating,
+    per-codebook input views, audio heads), leaving the backbone bf16.
+
+    The depformer micro-steps are pure weight-traffic (8 sequential tiny
+    GEMVs per frame); int8 halves their per-step DMA — inside the Pallas
+    megakernel the dequant happens per-output-row in VMEM. Composes with
+    :func:`quantize_head_for_serving` for the mixed serving mode (bf16
+    backbone math, int8 head + depformer)."""
+    out = dict(params)
+    out["codecformer"] = quantize_transformer_int8(params["codecformer"])
+    out["codecformer_in"] = quantize_weight_int8(params["codecformer_in"])
+    out["audio_linears"] = dict(params["audio_linears"])
+    out["audio_linears"]["weight"] = quantize_weight_int8(
+        params["audio_linears"]["weight"]
+    )
+    return out
+
+
 def quantize_head_for_serving(params: Params) -> Params:
     """int8 the 128k-vocab lm_head ONLY, leaving the rest bf16.
 

@@ -320,6 +320,13 @@ def main(argv=None):
              "of the frame); near-bf16 logits, ~0.5 GB less HBM traffic",
     )
     parser.add_argument(
+        "--int8-dep", action="store_true",
+        help="int8 ONLY the depformer slice (projections/gating, input "
+             "views, audio heads; dequant in VMEM inside the fused "
+             "micro-step kernel), bf16 backbone; composes with --int8-head "
+             "for the mixed serving mode",
+    )
+    parser.add_argument(
         "--ssl", default="", metavar="DIR",
         help="serve wss/https with DIR/cert.pem + DIR/key.pem "
              "(reference server.py --ssl)",
@@ -424,6 +431,19 @@ def main(argv=None):
         # quantize the audio head too (same as the flagship's
         # quantize_for_serving): keeps the int8 depformer inside the fused
         # micro-step kernel's envelope instead of mixed-precision fallback
+        lm_params["linears"] = dict(lm_params["linears"])
+        lm_params["linears"]["weight"] = quantize_weight_int8(
+            lm_params["linears"]["weight"]
+        )
+    if args.int8_dep and not args.int8:
+        from rstnet_tpu.modules.transformer import (
+            quantize_transformer_int8,
+            quantize_weight_int8,
+        )
+
+        lm_params = dict(lm_params)
+        lm_params["depformer"] = quantize_transformer_int8(lm_params["depformer"])
+        lm_params["depformer_in"] = quantize_weight_int8(lm_params["depformer_in"])
         lm_params["linears"] = dict(lm_params["linears"])
         lm_params["linears"]["weight"] = quantize_weight_int8(
             lm_params["linears"]["weight"]

@@ -183,3 +183,152 @@ def test_head_only_int8_keeps_greedy_tokens():
     a = np.asarray(jnp.argmax(text_logits, -1)).reshape(-1)
     b = np.asarray(jnp.argmax(text_logits_h, -1)).reshape(-1)
     assert (a == b).mean() >= 0.9
+
+
+def test_step_scan_matches_sequential_steps():
+    """step_scan (N frames per dispatch) is token-identical to N step()
+    calls with the split keys — the multi-frame serving fast path."""
+    m = _model()
+    gen = LMGen(m, delays=(0,) + (1,) * m.config.n_q, use_sampling=True)
+    params = m.init(jax.random.PRNGKey(0))
+    N = 5
+
+    state_a = gen.init_state(2, dtype=jnp.float32)
+    step = jax.jit(gen.step)
+    key = jax.random.PRNGKey(3)
+    outs, valids = [], []
+    for sub in jax.random.split(key, N):
+        out, valid, state_a = step(params, state_a, sub)
+        outs.append(np.asarray(out)[..., 0])
+        valids.append(np.asarray(valid))
+    seq_out = np.stack(outs, axis=-1)      # [B, dep_q+1, N]
+    seq_valid = np.stack(valids, axis=-1)  # [B, N]
+
+    state_b = gen.init_state(2, dtype=jnp.float32)
+    scan = jax.jit(gen.step_scan, static_argnames=("n_frames",))
+    out_s, valid_s, state_b = scan(params, state_b, key, n_frames=N)
+    np.testing.assert_array_equal(np.asarray(out_s), seq_out)
+    np.testing.assert_array_equal(np.asarray(valid_s), seq_valid)
+    # state converges too: next frame after both paths matches
+    k2 = jax.random.PRNGKey(9)
+    out_a2, _, _ = step(params, state_a, k2)
+    out_b2, _, _ = step(params, state_b, k2)
+    np.testing.assert_array_equal(np.asarray(out_a2), np.asarray(out_b2))
+
+
+def test_step_scan_with_user_streams():
+    """step_scan threads per-frame user tokens exactly like step()."""
+    import dataclasses
+
+    base = _model().config
+    cfg = dataclasses.replace(base, n_q=2 * base.dep_q)  # duplex: user streams
+    from rstnet_tpu.models.lm import SpeechTextLM
+
+    m = SpeechTextLM(cfg)
+    gen = LMGen(m, delays=(0,) * (1 + cfg.dep_q) + (1,) * cfg.dep_q)
+    assert gen.num_user_streams == cfg.dep_q
+    params = m.init(jax.random.PRNGKey(0))
+    N, B = 4, 1
+    key = jax.random.PRNGKey(5)
+    user = jax.random.randint(
+        jax.random.PRNGKey(6), (B, gen.num_user_streams, N), 0, cfg.audio_card
+    )
+
+    state_a = gen.init_state(B, dtype=jnp.float32)
+    step = jax.jit(gen.step)
+    outs = []
+    for i, sub in enumerate(jax.random.split(key, N)):
+        out, _, state_a = step(params, state_a, sub, user[:, :, i : i + 1])
+        outs.append(np.asarray(out)[..., 0])
+    seq_out = np.stack(outs, axis=-1)
+
+    state_b = gen.init_state(B, dtype=jnp.float32)
+    out_s, _, state_b = jax.jit(gen.step_scan)(params, state_b, key, user)
+    np.testing.assert_array_equal(np.asarray(out_s), seq_out)
+
+
+def test_dep_int8_keeps_most_greedy_tokens():
+    """quantize_dep_for_serving (int8 depformer slice, backbone untouched):
+    per-frame greedy agreement with full precision from the SAME state.
+
+    The int8 step runs from the bf16-advanced state each frame (two
+    independently-advanced states would compound a single early divergence
+    into every later frame — that measures trajectory sensitivity of a tiny
+    random model, not quantization quality)."""
+    from rstnet_tpu.models.lm import quantize_dep_for_serving
+
+    m = _model()
+    params = m.init(jax.random.PRNGKey(0))
+    params_d = quantize_dep_for_serving(params)
+    gen = LMGen(m, use_sampling=False)
+    step = jax.jit(gen.step)
+    key = jax.random.PRNGKey(2)
+    state = gen.init_state(1, dtype=jnp.float32)
+    n_tok = n_match = 0
+    for t in range(10):
+        out_d, _, _ = step(params_d, state, key)
+        out, _, state = step(params, state, key)
+        eq = np.asarray(out) == np.asarray(out_d)
+        n_match += int(eq.sum())
+        n_tok += eq.size
+    assert n_match / n_tok >= 0.9, f"only {n_match}/{n_tok} greedy tokens matched bf16"
+
+
+def test_context_wraparound_soak():
+    """Serving soak past the ring-KV capacity (VERDICT r2 item 5): a session
+    runs 3x the context window; tokens stay valid/in-range throughout, the
+    run is deterministic, and after the wraps the backbone's next hidden
+    state matches a FRESH state replaying only the last `context` frames
+    (ring eviction == window mask; RoPE attention is relative, so the
+    offset difference cancels). Reference: RingKVCache position recovery,
+    MLLM_v2/modules/transformer.py:211-278."""
+    import dataclasses
+
+    base = _model().config
+    cfg = dataclasses.replace(base, context=8)
+    from rstnet_tpu.models.lm import SpeechTextLM
+
+    m = SpeechTextLM(cfg)
+    params = m.init(jax.random.PRNGKey(0))
+    gen = LMGen(m, use_sampling=False)
+    step = jax.jit(gen.step)
+    T = 3 * cfg.context + 2  # ~3 wraps
+
+    def run():
+        state = gen.init_state(1, dtype=jnp.float32)
+        toks = []
+        key = jax.random.PRNGKey(1)
+        for _ in range(T):
+            out, valid, state = step(params, state, key)
+            assert bool(valid)
+            toks.append(np.asarray(out)[0, :, 0])
+        return np.stack(toks), state
+
+    toks_a, state_a = run()
+    toks_b, _ = run()
+    np.testing.assert_array_equal(toks_a, toks_b)  # deterministic
+    assert (toks_a >= 0).all()
+    assert (toks_a[:, 1:] < cfg.audio_card).all()
+    assert (toks_a[:, 0] < cfg.padded_vocab_size).all()
+
+    # drift check: long-run backbone state == fresh state fed only the
+    # probe's receptive field. With stacked windowed layers the final
+    # layer's output at position t depends on layer-0 inputs back to
+    # t - n_layer*(context-1) — NOT just `context` frames — so replay that
+    # many. The frame consumed at step t is the frame generated at step t-1
+    # (zero delays), so replay from the recorded tokens. Agreement is then
+    # exact up to RoPE rounding (positions differ by a constant shift;
+    # attention is relative, so the shift cancels analytically).
+    probe = jnp.asarray(toks_a[-1])[None, :, None]  # next step's input frame
+    hidden_long, _, _ = m.step_global(params, state_a["lm"], probe)
+
+    receptive = cfg.n_layer * (cfg.context - 1)
+    assert T - 1 >= receptive  # the soak ran long enough to cover the cone
+    fresh = m.init_state(1, jnp.float32)
+    for i in range(T - 1 - receptive, T - 1):
+        frame = jnp.asarray(toks_a[i])[None, :, None]
+        _, _, fresh = m.step_global(params, fresh, frame)
+    hidden_fresh, _, _ = m.step_global(params, fresh, probe)
+    np.testing.assert_allclose(
+        np.asarray(hidden_long), np.asarray(hidden_fresh), atol=1e-5
+    )
