@@ -35,7 +35,13 @@ def whisperx_transcribe(
     result = model.transcribe(audio, language=language)
     align_model, meta = whisperx.load_align_model(result["language"], device="cpu")
     aligned = whisperx.align(result["segments"], align_model, meta, audio, device="cpu")
-    return {"segments": aligned["segments"], "duration": len(audio) / 16000}
+    return {
+        "segments": aligned["segments"],
+        "duration": len(audio) / 16000,
+        # detected language: the filter stage drops off-target languages
+        # (reference emilia/main.py:287-306 detect_language gating)
+        "language": result.get("language"),
+    }
 
 
 def separate_vocals(

@@ -25,15 +25,18 @@ def char_count(text: str) -> int:
 def calculate_audio_stats(
     segments: list[dict], min_duration: float = 3.0, max_duration: float = 30.0,
     min_dnsmos: float = 3.0, min_char_count: int = 2,
+    supported_languages: "list[str] | tuple[str, ...] | None" = None,
 ) -> tuple[list[int], dict]:
     """Return (indices of segments that pass, filter report).
 
     A segment passes when its duration is within bounds, its DNSMOS is at or
     above ``min_dnsmos`` (segments without a score pass this criterion — the
     model is optional), its text has at least ``min_char_count`` content
-    characters (only when ASR text is present), and its average
-    per-character duration lies inside the utterance-level IQR fence
-    [Q1 - 1.5 IQR, Q3 + 1.5 IQR].
+    characters (only when ASR text is present), its detected ``language`` is
+    in ``supported_languages`` (when a list is given and the segment carries
+    a detection — the reference's off-target language gate,
+    ``emilia/main.py:287-306``), and its average per-character duration lies
+    inside the utterance-level IQR fence [Q1 - 1.5 IQR, Q3 + 1.5 IQR].
     """
     rates = []
     for seg in segments:
@@ -49,7 +52,12 @@ def calculate_audio_stats(
         lo, hi = 0.0, np.inf
 
     valid: list[int] = []
-    reasons = {"duration": 0, "dnsmos": 0, "char_count": 0, "char_rate": 0}
+    reasons = {"duration": 0, "dnsmos": 0, "char_count": 0, "char_rate": 0,
+               "language": 0}
+    langs = (
+        {ln.lower() for ln in supported_languages}
+        if supported_languages else None
+    )
     # force-trimmed windows are emitted as end = start + max_segment_s, whose
     # recomputed end-start can exceed the bound by one ulp — tolerate it
     tol = 1e-6
@@ -69,6 +77,13 @@ def calculate_audio_stats(
             ok = False
         if rate is not None and not (lo <= rate <= hi):
             reasons["char_rate"] += 1
+            ok = False
+        if (
+            langs is not None
+            and seg.get("language")
+            and seg["language"].lower() not in langs
+        ):
+            reasons["language"] += 1
             ok = False
         if ok:
             valid.append(idx)

@@ -56,6 +56,9 @@ DEFAULT_CONFIG = {
     "dnsmos_threshold": 3.0,
     "filter_min_duration_s": 0.0,    # stats filter (0 disables the bound)
     "filter_min_char_count": 0,
+    "supported_languages": None,     # e.g. ["en", "zh"]: drop segments whose
+                                     # ASR-detected language is off-target
+                                     # (reference emilia/main.py:287-306)
     "merge_sessions": False,         # pack segments into duplex sessions
     "session_chunk_s": 60.0,
 }
@@ -158,6 +161,7 @@ def process_utterance(
         max_duration=cfg["max_segment_s"],
         min_dnsmos=cfg["dnsmos_threshold"],
         min_char_count=cfg.get("filter_min_char_count", 0),
+        supported_languages=cfg.get("supported_languages"),
     )
     kept = []
     for idx in valid_idx:

@@ -157,6 +157,28 @@ def test_calculate_audio_stats_filters_each_criterion():
     assert report["avg_dnsmos"] == pytest.approx(np.mean([3.5, 3.5, 2.0, 3.5, 3.5]))
 
 
+def test_calculate_audio_stats_language_filter():
+    """Off-target ASR-detected languages are dropped when a supported list
+    is given; segments without a detection pass (reference
+    emilia/main.py:287-306 language gating)."""
+    base = dict(text="a" * 20, dnsmos=3.5)
+    segments = [
+        seg(0, 10, language="en", **base),   # passes
+        seg(0, 10, language="ZH", **base),   # passes (case-insensitive)
+        seg(0, 10, language="fr", **base),   # off-target -> dropped
+        seg(0, 10, **base),                  # no detection -> passes
+    ]
+    valid, report = calculate_audio_stats(
+        segments, min_duration=3, max_duration=30,
+        supported_languages=["en", "zh"],
+    )
+    assert valid == [0, 1, 3]
+    assert report["dropped_by"]["language"] == 1
+    # no list -> no language filtering at all
+    valid2, _ = calculate_audio_stats(segments, min_duration=3, max_duration=30)
+    assert valid2 == [0, 1, 2, 3]
+
+
 def test_calculate_audio_stats_without_asr_or_mos_is_duration_only():
     segments = [seg(0, 10), seg(0, 40)]
     valid, report = calculate_audio_stats(segments, min_duration=3, max_duration=30)
