@@ -187,6 +187,21 @@ def _validate_shared_tier(tier: str, timeout: float = 900.0) -> None:
     marker_dir = os.path.join(tier, ".validated")
     os.makedirs(marker_dir, exist_ok=True)
     marker = os.path.join(marker_dir, f"{_host_fingerprint()}-{_jaxlib_tag()}")
+    # concurrent processes (pytest-xdist workers) dedupe through an
+    # exclusive lock: the first validates, the rest then see a fresh marker
+    import fcntl
+
+    lock_path = os.path.join(marker_dir, ".lock")
+    lock_f = open(lock_path, "w")
+    try:
+        fcntl.flock(lock_f, fcntl.LOCK_EX)
+        _validate_shared_tier_locked(tier, marker, timeout)
+    finally:
+        fcntl.flock(lock_f, fcntl.LOCK_UN)
+        lock_f.close()
+
+
+def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> None:
     try:
         marker_mtime = os.stat(marker).st_mtime
     except OSError:
