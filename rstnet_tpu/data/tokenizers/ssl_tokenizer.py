@@ -7,8 +7,9 @@ token harvest — is the in-repo JAX :class:`WhisperVQEncoder`
 (``models/whisper_vq.py``), loaded from the GLM-4-Voice tokenizer
 checkpoint layout; audio is processed in 30 s chunks padded to the token
 stride, and tokens are harvested under the downsampled attention mask,
-matching the reference's framing. Detokenization requires the external
-CosyVoice flow + HiFT stack and stays a gated adapter.
+matching the reference's framing. Detokenization runs the in-repo JAX
+CosyVoice flow + HiFT stack (``models/glm4v_decoder.py``), loaded from the
+``glm-4-voice-decoder`` checkpoint directory.
 """
 
 from __future__ import annotations
@@ -26,7 +27,10 @@ SR = 16000
 class SSLTokenizer(AbsTokenizer):
     """audio -> 12.5 Hz semantic token ids (single codebook)."""
 
-    def __init__(self, checkpoint: str = "", model=None, params=None):
+    def __init__(
+        self, checkpoint: str = "", model=None, params=None,
+        decoder_checkpoint: str = "", decoder=None,
+    ):
         import jax
 
         if model is None or params is None:
@@ -45,6 +49,9 @@ class SSLTokenizer(AbsTokenizer):
         # samples per token: conv2 stride (2) x pooling x mel hop (160)
         self.stride = 2 * cfg.pooling_kernel_size * 160
         self._encode = jax.jit(model.encode)
+        # detokenize path (in-repo JAX flow + HiFT; models/glm4v_decoder.py)
+        self._decoder = decoder
+        self._decoder_checkpoint = decoder_checkpoint
 
     @property
     def is_discrete(self) -> bool:
@@ -85,8 +92,22 @@ class SSLTokenizer(AbsTokenizer):
             return np.zeros((0,), np.int32)
         return np.concatenate(tokens).astype(np.int32)
 
-    def detokenize(self, tokens: np.ndarray) -> np.ndarray:  # pragma: no cover
-        raise RuntimeError(
-            "SSL detokenization requires the external CosyVoice flow + HiFT "
-            "vocoder stack (GLM-4-Voice decoder); install it on the prep host"
-        )
+    def detokenize(self, tokens: np.ndarray) -> np.ndarray:
+        """[T] semantic token ids -> 22.05 kHz waveform (reference
+        ``semantic.py:143-151`` -> ``AudioDecoder.offline_inference``),
+        through the in-repo JAX CosyVoice flow + HiFT vocoder."""
+        if self._decoder is None:
+            if not self._decoder_checkpoint:
+                raise RuntimeError(
+                    "SSL detokenization needs the glm-4-voice-decoder "
+                    "checkpoint directory (decoder_checkpoint=...) holding "
+                    "config.yaml + flow.pt + hift.pt"
+                )
+            from rstnet_tpu.models.glm4v_decoder import load_glm4v_decoder
+
+            self._decoder = load_glm4v_decoder(self._decoder_checkpoint)
+        tokens = np.asarray(tokens, np.int32).reshape(1, -1)
+        import jax.numpy as jnp
+
+        wav = self._decoder.offline_inference(jnp.asarray(tokens))
+        return np.asarray(wav)[0]

@@ -88,6 +88,70 @@ def magnitude(
     return jnp.sqrt(jnp.clip(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2, eps, None))
 
 
+@lru_cache(maxsize=16)
+def _irdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse real-DFT matrices A, B [n//2+1, n] such that
+    irfft(X, n) = Re(X) @ A + Im(X) @ B (hermitian weights 1/2/1)."""
+    f = np.arange(n // 2 + 1)[:, None]
+    t = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * f * t / n
+    w = np.full((n // 2 + 1, 1), 2.0)
+    w[0] = w[-1] = 1.0
+    return (
+        (w * np.cos(ang) / n).astype(np.float32),
+        (-w * np.sin(ang) / n).astype(np.float32),
+    )
+
+
+def _irfft(spec: jax.Array, n: int) -> jax.Array:
+    """irFFT of the last axis (length n//2+1 -> n). Matmul on TPU."""
+    if jax.default_backend() == "tpu" and n <= 4096:
+        A, B = _irdft_mats(n)
+        return jnp.real(spec) @ jnp.asarray(A) + jnp.imag(spec) @ jnp.asarray(B)
+    return jnp.fft.irfft(spec, n=n, axis=-1)
+
+
+def istft(
+    spec: jax.Array,
+    fft_size: int,
+    hop_size: int,
+    win_size: int,
+    center: bool = True,
+    length: int | None = None,
+) -> jax.Array:
+    """torch.istft semantics: complex [..., freq, frames] -> [..., T].
+
+    Overlap-add of windowed irFFT frames, normalized by the summed squared
+    window envelope, with the center padding trimmed. Used by the HiFT
+    vocoder head (n_fft 16 / hop 4), where the matmul-irDFT is a few
+    kFLOPs per frame and fuses into the surrounding elementwise ops.
+    """
+    frames = _irfft(jnp.swapaxes(spec, -1, -2), fft_size)  # [..., frames, n]
+    window = hann_window(win_size)
+    if win_size < fft_size:
+        lpad = (fft_size - win_size) // 2
+        window = jnp.pad(window, (lpad, fft_size - win_size - lpad))
+    frames = frames * window
+    n_frames = frames.shape[-2]
+    out_len = fft_size + hop_size * (n_frames - 1)
+    # scatter-add each frame at its hop offset (static shapes: one
+    # segment_sum over a precomputed index map compiles to a dense matmul)
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop_size + jnp.arange(fft_size)[None, :]
+    ).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (-1,))
+    y = jnp.zeros(frames.shape[:-2] + (out_len,), frames.dtype).at[..., idx].add(flat)
+    env = jnp.zeros((out_len,), window.dtype).at[idx].add(
+        jnp.broadcast_to(window**2, (n_frames, fft_size)).reshape(-1)
+    )
+    y = y / jnp.where(env > 1e-11, env, 1.0)
+    if center:
+        y = y[..., fft_size // 2 : out_len - fft_size // 2]
+    if length is not None:
+        y = y[..., :length]
+    return y
+
+
 # -- mel filterbanks ----------------------------------------------------------
 
 

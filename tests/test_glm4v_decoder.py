@@ -1,0 +1,654 @@
+"""GLM-4-Voice decoder parity: JAX flow + HiFT vs the reference torch code.
+
+Constructs the reference CosyVoice modules
+(``/root/reference/MLLM_v2/tools/tokenizer/GLM4V/cosyvoice``) with small
+random configs, converts their state dicts through
+``models/glm4v_decoder.py``, and asserts numerical parity of our JAX
+implementations — the same strategy ``tests/test_whisper_vq.py`` uses for
+the tokenize direction.
+
+The reference's heavy optional deps (diffusers, conformer, omegaconf,
+lightning) are absent from this image; minimal faithful stand-ins are
+injected into ``sys.modules`` (the diffusers ``Attention`` stand-in
+reproduces its documented semantics: bias-free qkv projections and the
+attention mask applied as an ADDITIVE float bias). Everything else —
+conformer encoder, resnet/U-Net plumbing, CFM solver, HiFT — runs the
+reference's own torch code.
+"""
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/MLLM_v2/tools/tokenizer/GLM4V"
+
+
+def _install_stubs():
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    if "conformer" not in sys.modules:
+        m = types.ModuleType("conformer")
+        m.ConformerBlock = nn.Module
+        sys.modules["conformer"] = m
+
+    if "omegaconf" not in sys.modules:
+        m = types.ModuleType("omegaconf")
+
+        class DictConfig(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:  # noqa: B904
+                    raise AttributeError(k) from e
+
+        m.DictConfig = DictConfig
+        sys.modules["omegaconf"] = m
+
+    if "diffusers" not in sys.modules:
+        root = types.ModuleType("diffusers")
+        models = types.ModuleType("diffusers.models")
+        acts = types.ModuleType("diffusers.models.activations")
+        attn_mod = types.ModuleType("diffusers.models.attention")
+        proc = types.ModuleType("diffusers.models.attention_processor")
+        lora = types.ModuleType("diffusers.models.lora")
+        utils = types.ModuleType("diffusers.utils")
+        tu = types.ModuleType("diffusers.utils.torch_utils")
+
+        def get_activation(name):
+            return {"silu": nn.SiLU(), "mish": nn.Mish(), "gelu": nn.GELU(),
+                    "relu": nn.ReLU()}[name]
+
+        class GELU(nn.Module):
+            def __init__(self, dim_in, dim_out, approximate="none"):
+                super().__init__()
+                self.proj = nn.Linear(dim_in, dim_out)
+                self.approximate = approximate
+
+            def forward(self, x):
+                return F.gelu(self.proj(x), approximate=self.approximate)
+
+        class Attention(nn.Module):
+            def __init__(self, query_dim, heads=8, dim_head=64, dropout=0.0,
+                         bias=False, cross_attention_dim=None,
+                         upcast_attention=False, **kw):
+                super().__init__()
+                inner = heads * dim_head
+                self.heads, self.dim_head = heads, dim_head
+                self.scale = dim_head ** -0.5
+                kv = cross_attention_dim or query_dim
+                self.to_q = nn.Linear(query_dim, inner, bias=bias)
+                self.to_k = nn.Linear(kv, inner, bias=bias)
+                self.to_v = nn.Linear(kv, inner, bias=bias)
+                self.to_out = nn.ModuleList(
+                    [nn.Linear(inner, query_dim), nn.Dropout(dropout)])
+
+            def forward(self, hidden_states, encoder_hidden_states=None,
+                        attention_mask=None, **kw):
+                ctx = (encoder_hidden_states if encoder_hidden_states is not None
+                       else hidden_states)
+                B, T, _ = hidden_states.shape
+                q = self.to_q(hidden_states).view(B, T, self.heads, self.dim_head).transpose(1, 2)
+                k = self.to_k(ctx).view(B, -1, self.heads, self.dim_head).transpose(1, 2)
+                v = self.to_v(ctx).view(B, -1, self.heads, self.dim_head).transpose(1, 2)
+                scores = q @ k.transpose(-1, -2) * self.scale
+                if attention_mask is not None:
+                    scores = scores + attention_mask.unsqueeze(1)  # additive bias
+                out = (scores.softmax(-1) @ v).transpose(1, 2).reshape(B, T, -1)
+                return self.to_out[1](self.to_out[0](out))
+
+        acts.get_activation = get_activation
+        attn_mod.GELU = GELU
+        attn_mod.GEGLU = attn_mod.ApproximateGELU = GELU  # unused act_fns
+        attn_mod.AdaLayerNorm = attn_mod.AdaLayerNormZero = nn.LayerNorm  # unused
+        proc.Attention = Attention
+        lora.LoRACompatibleLinear = nn.Linear
+        tu.maybe_allow_in_graph = lambda cls: cls
+        root.models = models
+        for name, mod in [
+            ("diffusers", root), ("diffusers.models", models),
+            ("diffusers.models.activations", acts),
+            ("diffusers.models.attention", attn_mod),
+            ("diffusers.models.attention_processor", proc),
+            ("diffusers.models.lora", lora),
+            ("diffusers.utils", utils), ("diffusers.utils.torch_utils", tu),
+        ]:
+            sys.modules[name] = mod
+
+    # matcha.utils pulls lightning/hydra; pre-register just what's imported
+    if "matcha.utils.pylogger" not in sys.modules:
+        import logging
+
+        pkg = types.ModuleType("matcha.utils")
+        pl = types.ModuleType("matcha.utils.pylogger")
+        pl.get_pylogger = logging.getLogger
+        sys.modules["matcha.utils"] = pkg
+        sys.modules["matcha.utils.pylogger"] = pl
+
+
+@pytest.fixture(scope="module")
+def ref():
+    import os
+
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not available")
+    _install_stubs()
+    for p in (REF, f"{REF}/third_party/Matcha-TTS"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    try:
+        from cosyvoice.flow.decoder import ConditionalDecoder
+        from cosyvoice.flow.flow import MaskedDiffWithXvec
+        from cosyvoice.flow.flow_matching import ConditionalCFM
+        from cosyvoice.flow.length_regulator import InterpolateRegulator
+        from cosyvoice.hifigan.f0_predictor import ConvRNNF0Predictor
+        from cosyvoice.hifigan.generator import HiFTGenerator as TorchHiFT
+        from cosyvoice.transformer.encoder import BlockConformerEncoder
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference cosyvoice not importable: {e}")
+    return types.SimpleNamespace(
+        BlockConformerEncoder=BlockConformerEncoder,
+        ConditionalDecoder=ConditionalDecoder,
+        ConditionalCFM=ConditionalCFM,
+        MaskedDiffWithXvec=MaskedDiffWithXvec,
+        InterpolateRegulator=InterpolateRegulator,
+        ConvRNNF0Predictor=ConvRNNF0Predictor,
+        TorchHiFT=TorchHiFT,
+    )
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# conformer encoder
+# ---------------------------------------------------------------------------
+
+
+def _ref_encoder(ref, pos_enc, cnn_norm="batch_norm", use_cnn=True, macaron=True):
+    torch.manual_seed(0)
+    return ref.BlockConformerEncoder(
+        input_size=24, output_size=24, attention_heads=4, linear_units=32,
+        num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, input_layer="linear",
+        pos_enc_layer_type=pos_enc, normalize_before=True,
+        macaron_style=macaron, selfattention_layer_type="block_rel_selfattn",
+        use_cnn_module=use_cnn, cnn_module_kernel=5, causal=False,
+        cnn_module_norm=cnn_norm, key_bias=True, block_size=3,
+    ).eval()
+
+
+@pytest.mark.parametrize("pos_enc", ["rel_pos", "rel_pos_espnet"])
+def test_conformer_encoder_parity(ref, pos_enc):
+    from rstnet_tpu.models.glm4v_flow import ConformerConfig, apply_conformer
+    from rstnet_tpu.models.glm4v_decoder import convert_glm4v_flow
+
+    tmod = _ref_encoder(ref, pos_enc)
+    cfg = ConformerConfig(
+        input_size=24, output_size=24, attention_heads=4, linear_units=32,
+        num_blocks=2, block_size=3, pos_enc=pos_enc, macaron_style=True,
+        use_cnn_module=True, cnn_kernel=5, cnn_norm="batch_norm",
+    )
+    # build the encoder param tree with the converter's own helpers
+    sd = {f"encoder.{k}": v for k, v in _sd(tmod).items()}
+    from rstnet_tpu.models import glm4v_decoder as gd
+
+    enc_params = {
+        "embed": {"lin": gd._lin(sd, "encoder.embed.out.0"),
+                  "ln": gd._ln(sd, "encoder.embed.out.1")},
+        "after_norm": gd._ln(sd, "encoder.after_norm"),
+        "layers": [],
+    }
+    # reuse the converter's per-layer logic via the full converter on a
+    # synthetic flow dict is heavier; build layers with its helpers instead
+    for i in range(cfg.num_blocks):
+        pre = f"encoder.encoders.{i}"
+        layer = {
+            "norm_mha": gd._ln(sd, f"{pre}.norm_mha"),
+            "q": gd._lin(sd, f"{pre}.self_attn.linear_q"),
+            "k": gd._lin(sd, f"{pre}.self_attn.linear_k"),
+            "v": gd._lin(sd, f"{pre}.self_attn.linear_v"),
+            "o": gd._lin(sd, f"{pre}.self_attn.linear_out"),
+            "pos": gd._lin(sd, f"{pre}.self_attn.linear_pos"),
+            "pos_bias_u": gd._g(sd, f"{pre}.self_attn.pos_bias_u"),
+            "pos_bias_v": gd._g(sd, f"{pre}.self_attn.pos_bias_v"),
+            "norm_ff": gd._ln(sd, f"{pre}.norm_ff"),
+            "ffn": {"w1": gd._lin(sd, f"{pre}.feed_forward.w_1"),
+                    "w2": gd._lin(sd, f"{pre}.feed_forward.w_2")},
+            "norm_ff_macaron": gd._ln(sd, f"{pre}.norm_ff_macaron"),
+            "ffn_macaron": {
+                "w1": gd._lin(sd, f"{pre}.feed_forward_macaron.w_1"),
+                "w2": gd._lin(sd, f"{pre}.feed_forward_macaron.w_2")},
+            "norm_conv": gd._ln(sd, f"{pre}.norm_conv"),
+            "norm_final": gd._ln(sd, f"{pre}.norm_final"),
+            "pw1": gd._conv(sd, f"{pre}.conv_module.pointwise_conv1"),
+            "dw": gd._conv(sd, f"{pre}.conv_module.depthwise_conv"),
+            "pw2": gd._conv(sd, f"{pre}.conv_module.pointwise_conv2"),
+            "bn": {
+                "scale": gd._g(sd, f"{pre}.conv_module.norm.weight"),
+                "bias": gd._g(sd, f"{pre}.conv_module.norm.bias"),
+                "mean": gd._g(sd, f"{pre}.conv_module.norm.running_mean"),
+                "var": gd._g(sd, f"{pre}.conv_module.norm.running_var"),
+            },
+        }
+        enc_params["layers"].append(layer)
+
+    torch.manual_seed(1)
+    x = torch.randn(2, 9, 24)
+    lens = torch.tensor([9, 9], dtype=torch.int32)
+    with torch.no_grad():
+        h_t, _ = tmod(x, lens)
+    h_j = apply_conformer(cfg, enc_params, jnp.asarray(x.numpy()),
+                          jnp.ones((2, 9), bool))
+    np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# U-Net estimator + CFM solver
+# ---------------------------------------------------------------------------
+
+
+def _ref_estimator(ref):
+    torch.manual_seed(2)
+    return ref.ConditionalDecoder(
+        in_channels=24, out_channels=6, channels=(16, 16),
+        dropout=0.0, attention_head_dim=4, n_blocks=1, num_mid_blocks=2,
+        num_heads=2, act_fn="gelu",
+    ).eval()
+
+
+def _unet_cfg():
+    from rstnet_tpu.models.glm4v_flow import UNetConfig
+
+    return UNetConfig(in_channels=24, out_channels=6, channels=(16, 16),
+                      attention_head_dim=4, n_blocks=1, num_mid_blocks=2,
+                      num_heads=2, act_fn="gelu")
+
+
+def _convert_unet(tmod, cfg):
+    from rstnet_tpu.models import glm4v_decoder as gd
+
+    sd = {f"decoder.estimator.{k}": v for k, v in _sd(tmod).items()}
+    resnet = lambda pre: {  # noqa: E731
+        "mlp": gd._lin(sd, f"{pre}.mlp.1"),
+        "b1_conv": gd._conv(sd, f"{pre}.block1.block.0"),
+        "b1_gn": gd._ln(sd, f"{pre}.block1.block.1"),
+        "b2_conv": gd._conv(sd, f"{pre}.block2.block.0"),
+        "b2_gn": gd._ln(sd, f"{pre}.block2.block.1"),
+        "res": gd._conv(sd, f"{pre}.res_conv"),
+    }
+    tx = lambda pre: {  # noqa: E731
+        "ln1": gd._ln(sd, f"{pre}.norm1"),
+        "to_q": gd._lin(sd, f"{pre}.attn1.to_q"),
+        "to_k": gd._lin(sd, f"{pre}.attn1.to_k"),
+        "to_v": gd._lin(sd, f"{pre}.attn1.to_v"),
+        "to_out": gd._lin(sd, f"{pre}.attn1.to_out.0"),
+        "ln3": gd._ln(sd, f"{pre}.norm3"),
+        "ff_in": gd._lin(sd, f"{pre}.ff.net.0.proj"),
+        "ff_out": gd._lin(sd, f"{pre}.ff.net.2"),
+    }
+    est = "decoder.estimator"
+    params = {
+        "time_mlp": {"lin1": gd._lin(sd, f"{est}.time_mlp.linear_1"),
+                     "lin2": gd._lin(sd, f"{est}.time_mlp.linear_2")},
+        "down": [], "mid": [], "up": [],
+        "final_block": {"conv": gd._conv(sd, f"{est}.final_block.block.0"),
+                        "gn": gd._ln(sd, f"{est}.final_block.block.1")},
+        "final_proj": gd._conv(sd, f"{est}.final_proj"),
+    }
+    for i in range(len(cfg.channels)):
+        is_last = i == len(cfg.channels) - 1
+        params["down"].append({
+            "resnet": resnet(f"{est}.down_blocks.{i}.0"),
+            "tx": [tx(f"{est}.down_blocks.{i}.1.{j}") for j in range(cfg.n_blocks)],
+            "down": gd._conv(
+                sd,
+                f"{est}.down_blocks.{i}.2" if is_last else f"{est}.down_blocks.{i}.2.conv",
+            ),
+            "is_last": is_last,
+        })
+    for i in range(cfg.num_mid_blocks):
+        params["mid"].append({
+            "resnet": resnet(f"{est}.mid_blocks.{i}.0"),
+            "tx": [tx(f"{est}.mid_blocks.{i}.1.{j}") for j in range(cfg.n_blocks)],
+        })
+    for i in range(len(cfg.channels)):
+        is_last = i == len(cfg.channels) - 1
+        params["up"].append({
+            "resnet": resnet(f"{est}.up_blocks.{i}.0"),
+            "tx": [tx(f"{est}.up_blocks.{i}.1.{j}") for j in range(cfg.n_blocks)],
+            "up": (gd._conv(sd, f"{est}.up_blocks.{i}.2") if is_last
+                   else gd._conv_transpose(sd, f"{est}.up_blocks.{i}.2.conv")),
+            "is_last": is_last,
+        })
+    return params
+
+
+def test_unet_estimator_parity(ref):
+    from rstnet_tpu.models.glm4v_flow import apply_unet
+
+    tmod = _ref_estimator(ref)
+    cfg = _unet_cfg()
+    params = _convert_unet(tmod, cfg)
+
+    torch.manual_seed(3)
+    B, T = 1, 12
+    x = torch.randn(B, 6, T)
+    mu = torch.randn(B, 6, T)
+    spks = torch.randn(B, 6)
+    cond = torch.randn(B, 6, T)
+    mask = torch.ones(B, 1, T)
+    t = torch.tensor(0.37)
+    with torch.no_grad():
+        v_t = tmod(x, mask, mu, t, spks, cond)
+    v_j = apply_unet(
+        cfg, params,
+        jnp.asarray(x.numpy().transpose(0, 2, 1)), jnp.ones((B, T)),
+        jnp.asarray(mu.numpy().transpose(0, 2, 1)), 0.37,
+        jnp.asarray(spks.numpy()), jnp.asarray(cond.numpy().transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_j).transpose(0, 2, 1), v_t.numpy(), atol=2e-5)
+
+
+def test_cfm_solver_parity(ref):
+    """Euler+CFG solve: our scan (batched cond/uncond) vs the reference's
+    sequential two-call loop, same noise and timesteps."""
+    from rstnet_tpu.models.glm4v_flow import cfm_solve
+
+    sys.modules["omegaconf"]  # stubs installed by the fixture
+    from omegaconf import DictConfig
+
+    tmod = _ref_estimator(ref)
+    cfg = _unet_cfg()
+    params = _convert_unet(tmod, cfg)
+    cfm = ref.ConditionalCFM(
+        in_channels=24,
+        cfm_params=DictConfig({
+            "sigma_min": 1e-6, "solver": "euler", "t_scheduler": "cosine",
+            "training_cfg_rate": 0.2, "inference_cfg_rate": 0.7,
+            "reg_loss_type": "l1",
+        }),
+        estimator=tmod,
+    ).eval()
+
+    torch.manual_seed(4)
+    B, T, n = 1, 10, 4
+    mu = torch.randn(B, 6, T)
+    spks = torch.randn(B, 6)
+    cond = torch.randn(B, 6, T)
+    mask = torch.ones(B, 1, T)
+    z = torch.randn(B, 6, T)
+    t_span = torch.linspace(0, 1, n + 1)
+    t_span = 1 - torch.cos(t_span * 0.5 * torch.pi)
+    with torch.no_grad():
+        mel_t = cfm.solve_euler(z.clone(), t_span=t_span, mu=mu, mask=mask,
+                                spks=spks, cond=cond)
+    mel_j = cfm_solve(
+        cfg, params, jnp.asarray(z.numpy().transpose(0, 2, 1)),
+        jnp.asarray(mu.numpy().transpose(0, 2, 1)), jnp.ones((B, T)),
+        jnp.asarray(spks.numpy()), jnp.asarray(cond.numpy().transpose(0, 2, 1)),
+        n_timesteps=n, inference_cfg_rate=0.7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mel_j).transpose(0, 2, 1), mel_t.numpy(), atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# full flow: token -> mel
+# ---------------------------------------------------------------------------
+
+
+def test_flow_token_to_mel_parity(ref):
+    from omegaconf import DictConfig
+
+    from rstnet_tpu.models.glm4v_decoder import convert_glm4v_flow
+    from rstnet_tpu.models.glm4v_flow import (
+        ConformerConfig, GLM4VFlow, GLM4VFlowConfig)
+
+    torch.manual_seed(5)
+    encoder = _ref_encoder(ref, "rel_pos_espnet")
+    estimator = _ref_estimator(ref)
+    cfm = ref.ConditionalCFM(
+        in_channels=24,
+        cfm_params=DictConfig({
+            "sigma_min": 1e-6, "solver": "euler", "t_scheduler": "cosine",
+            "training_cfg_rate": 0.2, "inference_cfg_rate": 0.7,
+            "reg_loss_type": "l1"}),
+        estimator=estimator,
+    )
+    regulator = ref.InterpolateRegulator(channels=6, sampling_ratios=(1, 1))
+    tflow = ref.MaskedDiffWithXvec(
+        input_size=24, output_size=6, spk_embed_dim=8, vocab_size=40,
+        input_frame_rate=12.5, encoder=encoder, length_regulator=regulator,
+        decoder=cfm,
+    ).eval()
+
+    cfg = GLM4VFlowConfig(
+        vocab_size=40, input_size=24, output_size=6, spk_embed_dim=8,
+        input_frame_rate=12.5, regulator_stages=2,
+        encoder=ConformerConfig(
+            input_size=24, output_size=24, attention_heads=4, linear_units=32,
+            num_blocks=2, block_size=3, pos_enc="rel_pos_espnet",
+            macaron_style=True, use_cnn_module=True, cnn_kernel=5,
+            cnn_norm="batch_norm"),
+        unet=_unet_cfg(), n_timesteps=10,
+    )
+    model = GLM4VFlow(cfg)
+    params = convert_glm4v_flow(_sd(tflow), model)
+
+    torch.manual_seed(6)
+    T_tok = 8
+    token = torch.randint(0, 40, (1, T_tok), dtype=torch.int32)
+    emb = torch.randn(1, 8)
+    T_mel = cfg.mel_len(T_tok)
+    # the reference draws z inside forward with a fixed seed; replicate it
+    torch.manual_seed(42)
+    z = torch.randn(1, 6, T_mel)
+    with torch.no_grad():
+        mel_t = tflow.inference(
+            token, torch.tensor([T_tok], dtype=torch.int32),
+            torch.zeros(1, 0, dtype=torch.int32), torch.tensor([0], dtype=torch.int32),
+            torch.zeros(1, 0, 6), torch.tensor([0], dtype=torch.int32), emb)
+    mel_j = model.inference(
+        params, jnp.asarray(token.numpy()),
+        jnp.asarray(z.numpy().transpose(0, 2, 1)),
+        embedding=jnp.asarray(emb.numpy()))
+    np.testing.assert_allclose(
+        np.asarray(mel_j).transpose(0, 2, 1), mel_t.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# HiFT vocoder
+# ---------------------------------------------------------------------------
+
+
+def test_hift_parity(ref, monkeypatch):
+    from rstnet_tpu.models.glm4v_decoder import convert_hift
+    from rstnet_tpu.models.hift import HiFTConfig, HiFTGenerator
+
+    torch.manual_seed(7)
+    tmod = ref.TorchHiFT(
+        in_channels=6, base_channels=16, nb_harmonics=2, sampling_rate=22050,
+        nsf_alpha=0.1, nsf_sigma=0.003, nsf_voiced_threshold=10,
+        upsample_rates=[2, 2], upsample_kernel_sizes=[4, 4],
+        istft_params={"n_fft": 16, "hop_len": 4},
+        resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+        source_resblock_kernel_sizes=[3, 3],
+        source_resblock_dilation_sizes=[[1, 3], [1, 3]],
+        f0_predictor=ref.ConvRNNF0Predictor(
+            num_class=1, in_channels=6, cond_channels=8),
+    ).eval()
+
+    cfg = HiFTConfig(
+        in_channels=6, base_channels=16, nb_harmonics=2, sampling_rate=22050,
+        upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+        source_resblock_kernel_sizes=(3, 3),
+        source_resblock_dilations=((1, 3), (1, 3)), f0_cond_channels=8,
+    )
+    model = HiFTGenerator(cfg)
+    params = convert_hift(_sd(tmod), model)
+
+    # zero the reference's random phase + additive noise; ours uses key=None
+    from torch.distributions.uniform import Uniform
+
+    monkeypatch.setattr(
+        Uniform, "sample", lambda self, sample_shape: torch.zeros(sample_shape))
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+
+    torch.manual_seed(8)
+    mel = torch.randn(1, 6, 20)
+    with torch.no_grad():
+        wav_t, src_t = tmod(mel)
+    wav_j, src_j = model.inference(
+        params, jnp.asarray(mel.numpy().transpose(0, 2, 1)), key=None)
+    np.testing.assert_allclose(
+        np.asarray(src_j)[..., 0], src_t.numpy()[:, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wav_j), wav_t.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end decoder wrapper
+# ---------------------------------------------------------------------------
+
+
+def _tiny_decoder():
+    from rstnet_tpu.models.glm4v_decoder import GLM4VAudioDecoder
+    from rstnet_tpu.models.glm4v_flow import (
+        ConformerConfig, GLM4VFlow, GLM4VFlowConfig, UNetConfig)
+    from rstnet_tpu.models.hift import HiFTConfig, HiFTGenerator
+
+    flow = GLM4VFlow(GLM4VFlowConfig(
+        vocab_size=40, input_size=16, output_size=6, spk_embed_dim=8,
+        input_frame_rate=12.5, regulator_stages=1,
+        encoder=ConformerConfig(input_size=16, output_size=16,
+                                attention_heads=2, linear_units=24,
+                                num_blocks=1, block_size=3, use_cnn_module=False,
+                                macaron_style=False),
+        unet=UNetConfig(in_channels=24, out_channels=6, channels=(8,),
+                        attention_head_dim=4, n_blocks=1, num_mid_blocks=1,
+                        num_heads=2),
+        n_timesteps=2,
+    ))
+    hift = HiFTGenerator(HiFTConfig(
+        in_channels=6, base_channels=8, nb_harmonics=1,
+        upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+        resblock_kernel_sizes=(3,), resblock_dilations=((1,),),
+        source_resblock_kernel_sizes=(3, 3),
+        source_resblock_dilations=((1,), (1,)), f0_cond_channels=8,
+    ))
+    key = jax.random.PRNGKey(0)
+    return GLM4VAudioDecoder(
+        flow, flow.init(key), hift, hift.init(jax.random.PRNGKey(1)))
+
+
+def test_audio_decoder_offline_and_stream():
+    dec = _tiny_decoder()
+    token = jax.random.randint(jax.random.PRNGKey(2), (1, 30), 0, 40)
+    wav = dec.offline_inference(token)
+    cfg = dec.flow.config
+    expect = cfg.mel_len(30) * dec.hift.config.total_upsample
+    assert wav.shape == (1, expect)
+    assert np.isfinite(np.asarray(wav)).all()
+
+    wav_s = dec.stream_inference(token, block_size=10)
+    assert np.isfinite(np.asarray(wav_s)).all()
+    # streaming trims the source-cache tail of each non-final block
+    assert abs(wav_s.shape[1] - expect) <= dec.source_cache_len * 3
+
+
+def test_istft_matches_torch():
+    """ops.stft.istft is torch.istft-exact at the HiFT head's shape,
+    including spectra that are NOT a valid STFT (mag/phase reconstruction)."""
+    from rstnet_tpu.ops.stft import istft, stft
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 400)).astype(np.float32)
+    n_fft, hop = 16, 4
+    win = torch.hann_window(n_fft)
+    spec = torch.stft(torch.from_numpy(x), n_fft, hop, n_fft, window=win,
+                      return_complex=True)
+    y_t = torch.istft(spec, n_fft, hop, n_fft, window=win).numpy()
+    y_j = np.asarray(istft(jnp.asarray(spec.numpy()), n_fft, hop, n_fft))
+    assert y_j.shape == y_t.shape
+    np.testing.assert_allclose(y_j, y_t, atol=2e-6)
+
+    mag = np.abs(spec.numpy())
+    ph = rng.normal(size=mag.shape).astype(np.float32)
+    z = (mag * np.cos(ph) + 1j * mag * np.sin(ph)).astype(np.complex64)
+    y2_t = torch.istft(torch.from_numpy(z), n_fft, hop, n_fft, window=win).numpy()
+    y2_j = np.asarray(istft(jnp.asarray(z), n_fft, hop, n_fft))
+    np.testing.assert_allclose(y2_j[..., : y2_t.shape[-1]], y2_t, atol=2e-6)
+    # roundtrip through our own stft too
+    spec_j = stft(jnp.asarray(x), n_fft, hop, n_fft)
+    np.testing.assert_allclose(
+        np.asarray(istft(spec_j, n_fft, hop, n_fft)), x, atol=2e-6)
+
+
+def test_ssl_tokenizer_detokenize_wiring():
+    """SSLTokenizer.detokenize runs the in-repo decoder when one is
+    provided (reference ``semantic.py:143-151``)."""
+    from rstnet_tpu.data.tokenizers.ssl_tokenizer import SSLTokenizer
+    from rstnet_tpu.models.whisper_vq import WhisperVQConfig, WhisperVQEncoder
+
+    enc = WhisperVQEncoder(WhisperVQConfig(
+        n_mels=8, d_model=16, num_heads=2, ffn_dim=24, num_layers=1,
+        pooling_kernel_size=4, pooling_position=1, quantize_position=1,
+        quantize_vocab_size=40, max_source_positions=400))
+    tok = SSLTokenizer(
+        model=enc, params=enc.init(jax.random.PRNGKey(0)),
+        decoder=_tiny_decoder())
+    ids = np.arange(20, dtype=np.int32) % 40
+    wav = tok.detokenize(ids)
+    cfg = tok._decoder.flow.config
+    assert wav.shape == (cfg.mel_len(20) * tok._decoder.hift.config.total_upsample,)
+    assert np.isfinite(wav).all()
+
+
+def test_config_yaml_parsing():
+    from rstnet_tpu.models.glm4v_decoder import configs_from_yaml
+
+    text = """
+flow: !new:cosyvoice.flow.flow.MaskedDiffWithXvec
+    input_size: 512
+    vocab_size: 16384
+    input_frame_rate: 12.5
+    encoder: !new:cosyvoice.transformer.encoder.BlockConformerEncoder
+        output_size: 512
+        attention_heads: 8
+        num_blocks: 6
+        block_size: 10
+        selfattention_layer_type: block_rel_selfattn
+        pos_enc_layer_type: rel_pos_espnet
+    decoder: !new:cosyvoice.flow.flow_matching.ConditionalCFM
+        in_channels: 240
+        cfm_params: !new:omegaconf.DictConfig
+            inference_cfg_rate: 0.7
+        estimator: !new:cosyvoice.flow.decoder.ConditionalDecoder
+            in_channels: 320
+            out_channels: 80
+            channels: [256, 256]
+            num_mid_blocks: 12
+hift: !new:cosyvoice.hifigan.generator.HiFTGenerator
+    in_channels: 80
+    base_channels: 512
+    upsample_rates: [8, 8]
+    istft_params:
+        n_fft: 16
+        hop_len: 4
+"""
+    flow_cfg, hift_cfg = configs_from_yaml(text)
+    assert flow_cfg.vocab_size == 16384
+    assert flow_cfg.encoder.block_size == 10
+    assert flow_cfg.encoder.pos_enc == "rel_pos_espnet"
+    assert flow_cfg.unet.channels == (256, 256)
+    assert flow_cfg.unet.num_mid_blocks == 12
+    assert hift_cfg.total_upsample == 256
