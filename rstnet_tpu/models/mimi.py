@@ -120,22 +120,31 @@ class MimiModel:
 
     # -- streaming ----------------------------------------------------------
 
-    def init_encode_state(self, batch_size: int, dtype=jnp.float32) -> State:
+    def init_encode_state(
+        self, batch_size: int, dtype=jnp.float32, chunk_frames: int = 1
+    ) -> State:
+        """``chunk_frames``: max whole codec frames fed per ``encode_step``
+        call (>1 for the serving catch-up path that encodes a buffered
+        block in one dispatch); sizes the transformer ring accordingly."""
+        per_frame = self.resample_stride if self.needs_resample else 1
         s = {
             "encoder": self.encoder.init_state(batch_size, dtype),
             "encoder_transformer": self.encoder_transformer.init_state(
-                batch_size, dtype, chunk_size=self.resample_stride if self.needs_resample else 1
+                batch_size, dtype, chunk_size=per_frame * chunk_frames
             ),
         }
         if self.downsample is not None:
             s["downsample"] = self.downsample.init_state(batch_size, dtype)
         return s
 
-    def init_decode_state(self, batch_size: int, dtype=jnp.float32) -> State:
+    def init_decode_state(
+        self, batch_size: int, dtype=jnp.float32, chunk_frames: int = 1
+    ) -> State:
+        per_frame = self.resample_stride if self.needs_resample else 1
         s = {
             "decoder": self.decoder.init_state(batch_size, dtype),
             "decoder_transformer": self.decoder_transformer.init_state(
-                batch_size, dtype, chunk_size=self.resample_stride if self.needs_resample else 1
+                batch_size, dtype, chunk_size=per_frame * chunk_frames
             ),
         }
         if self.upsample is not None:

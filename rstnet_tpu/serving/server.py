@@ -65,6 +65,12 @@ class ServerState:
     lm_params: object
     text_tokenizer: Optional[object] = None
     lock: asyncio.Lock = field(default_factory=asyncio.Lock)
+    # catch-up dispatch: when the session buffer holds >= scan_frames whole
+    # frames (file streaming, or real-time after a stall), they run as ONE
+    # lax.scan'ed device call (LMGen.step_scan) — per-call dispatch, which
+    # dominates per-frame latency on a remotely-attached chip, is paid once
+    # per scan_frames instead of once per frame. 0 disables.
+    scan_frames: int = 0
 
     def __post_init__(self):
         model = self.lm_gen.model
@@ -72,21 +78,29 @@ class ServerState:
         self._encode_step = jax.jit(self.mimi.encode_step, donate_argnums=(1,))
         self._decode_step = jax.jit(self.mimi.decode_step, donate_argnums=(1,))
         self._lm_step = jax.jit(self.lm_gen.step, donate_argnums=(1,))
+        self._lm_step_scan = jax.jit(
+            self.lm_gen.step_scan, static_argnames=("n_frames",), donate_argnums=(1,)
+        )
         self.reset()
 
     def reset(self):
-        self.enc_state = self.mimi.init_encode_state(1)
-        self.dec_state = self.mimi.init_decode_state(1)
+        chunk_frames = max(1, self.scan_frames)
+        self.enc_state = self.mimi.init_encode_state(1, chunk_frames=chunk_frames)
+        self.dec_state = self.mimi.init_decode_state(1, chunk_frames=chunk_frames)
         self.lm_state = self.lm_gen.init_state(1, dtype=jnp.float32)
         self.key = jax.random.PRNGKey(int(time.time()))
         self.steps = 0  # completed frames; validity is deterministic from it
 
     def warmup(self, n_frames: int = 4) -> None:
         """Compile + steady-state the three jitted steps
-        (reference ``server.py:64-73``)."""
+        (reference ``server.py:64-73``), plus the catch-up scan shape."""
         for _ in range(n_frames):
             chunk = jnp.zeros((1, 1, self.frame_size))
             self.handle_frame_array(np.asarray(chunk[0, 0]))
+        if self.scan_frames > 1 and self.steps > self.lm_gen.max_delay:
+            self.handle_frames_array(
+                np.zeros(self.scan_frames * self.frame_size, np.float32)
+            )
         self.reset()
 
     def handle_frame_array(self, pcm: np.ndarray) -> tuple[Optional[np.ndarray], Optional[int]]:
@@ -112,6 +126,30 @@ class ServerState:
         audio, self.dec_state = self._decode_step(self.mimi_params, self.dec_state, audio_codes)
         audio_np, out_np = jax.device_get((audio, out))
         return audio_np[0, 0], int(out_np[0, 0, 0])
+
+    def handle_frames_array(self, pcm: np.ndarray) -> tuple[np.ndarray, list]:
+        """N whole frames in ONE dispatch chain (encode chunk -> LMGen
+        step_scan -> decode chunk): [N * frame_size] float samples ->
+        (audio samples, N text tokens). Only callable past warmup
+        (``steps > max_delay``) so every scanned frame is valid — the
+        caller gates on that, keeping the compiled shape set fixed."""
+        assert self.steps > self.lm_gen.max_delay
+        n = pcm.shape[-1] // self.frame_size
+        chunk = jnp.asarray(pcm, jnp.float32).reshape(1, 1, -1)
+        codes, self.enc_state = self._encode_step(self.mimi_params, self.enc_state, chunk)
+        user_streams = self.lm_gen.num_user_streams
+        self.key, sub = jax.random.split(self.key)
+        user = codes[:, :user_streams, :] if user_streams else None
+        out, _, self.lm_state = self._lm_step_scan(
+            self.lm_params, self.lm_state, sub, user,
+            **({} if user_streams else {"n_frames": n}),
+        )
+        self.steps += n
+        audio, self.dec_state = self._decode_step(
+            self.mimi_params, self.dec_state, out[:, 1:, :]
+        )
+        audio_np, out_np = jax.device_get((audio, out))
+        return audio_np[0, 0], [int(t) for t in out_np[0, 0, :]]
 
 
 TEXT_SKIP_IDS = (0, 3)  # <unk>/<epad> and <pad> (reference server.py:138)
@@ -237,6 +275,29 @@ async def handle_chat(state: ServerState, request):
                 transport = opus.Pcm16Transport()
             buffered = np.concatenate([buffered, transport.unpack(data[1:])])
             while buffered.shape[0] >= state.frame_size:
+                n_buf = buffered.shape[0] // state.frame_size
+                sf = state.scan_frames
+                if sf > 1 and n_buf >= sf and state.steps > state.lm_gen.max_delay:
+                    # catch-up: sf buffered frames in one device dispatch
+                    block, buffered = (
+                        buffered[: sf * state.frame_size],
+                        buffered[sf * state.frame_size :],
+                    )
+                    t0 = time.perf_counter()
+                    audio, text_tokens = state.handle_frames_array(block)
+                    ms = (time.perf_counter() - t0) * 1000
+                    logging.info(f"{sf} frames handled in {ms:.1f} ms (scan)")
+                    await ws.send_bytes(TAG_AUDIO + transport.pack(audio))
+                    for tok in text_tokens:
+                        if tok in TEXT_SKIP_IDS:
+                            continue
+                        if state.text_tokenizer is not None:
+                            text = state.text_tokenizer.decode([tok])
+                            if text:
+                                await ws.send_bytes(TAG_TEXT + text.encode())
+                        else:
+                            await ws.send_bytes(TAG_TEXT + str(tok).encode())
+                    continue
                 frame, buffered = (
                     buffered[: state.frame_size],
                     buffered[state.frame_size :],
@@ -336,6 +397,12 @@ def main(argv=None):
         help="store the LM ring K/V as int8 with per-step scales: half the "
              "cache memory and attention HBM traffic per frame",
     )
+    parser.add_argument(
+        "--scan-frames", type=int, default=4, metavar="N",
+        help="when a session has >= N whole frames buffered (file "
+             "streaming, catch-up after a stall), run them as ONE scanned "
+             "device dispatch instead of N (LMGen.step_scan); 0 disables",
+    )
     args = parser.parse_args(argv)
 
     ssl_context = None
@@ -382,6 +449,7 @@ def main(argv=None):
         state = ServerState(
             mimi=mimi, mimi_params=mimi_params,
             lm_gen=lm_gen, lm_params=lm_params,
+            scan_frames=args.scan_frames,
         )
         logging.info("warming up (tiny)...")
         state.warmup()
@@ -475,6 +543,7 @@ def main(argv=None):
         mimi=mimi, mimi_params=mimi_params,
         lm_gen=lm_gen, lm_params=lm_params,
         text_tokenizer=tokenizer,
+        scan_frames=args.scan_frames,
     )
     logging.info("warming up...")
     state.warmup()

@@ -42,6 +42,45 @@ def test_frame_handler_direct():
     assert isinstance(text_token, int)
 
 
+def test_scan_catchup_matches_single_frames():
+    """handle_frames_array (N frames, one dispatch chain) produces exactly
+    the audio + text of N handle_frame_array calls under greedy decoding —
+    the server's catch-up fast path is a pure dispatch optimization."""
+    def greedy_state(scan_frames):
+        s = _tiny_state()
+        return ServerState(
+            mimi=s.mimi, mimi_params=s.mimi_params,
+            lm_gen=LMGen(s.lm_gen.model, delays=s.lm_gen.delays,
+                         use_sampling=False),
+            lm_params=s.lm_params, scan_frames=scan_frames,
+        )
+
+    a, b = greedy_state(0), greedy_state(4)
+    rng = np.random.default_rng(0)
+    first = rng.normal(size=24).astype(np.float32) * 0.1
+    block = rng.normal(size=4 * 24).astype(np.float32) * 0.1
+
+    # one single frame on both (past warmup: max_delay == 0)
+    audio_a0, text_a0 = a.handle_frame_array(first)
+    audio_b0, text_b0 = b.handle_frame_array(first)
+    np.testing.assert_array_equal(audio_a0, audio_b0)
+    assert text_a0 == text_b0
+
+    singles_audio, singles_text = [], []
+    for i in range(4):
+        au, tx = a.handle_frame_array(block[i * 24 : (i + 1) * 24])
+        singles_audio.append(au)
+        singles_text.append(tx)
+    scan_audio, scan_text = b.handle_frames_array(block)
+    assert b.steps == a.steps == 5
+    # tokens are exact; audio only to float rounding (chunked conv sums in
+    # a different order than 4 single-frame convs)
+    np.testing.assert_allclose(
+        scan_audio, np.concatenate(singles_audio), atol=1e-5
+    )
+    assert scan_text == singles_text
+
+
 def test_websocket_roundtrip():
     from aiohttp.test_utils import TestClient, TestServer
 
