@@ -613,6 +613,31 @@ def test_ssl_tokenizer_detokenize_wiring():
     assert np.isfinite(wav).all()
 
 
+def test_ssl_resynth_cli(tmp_path, monkeypatch):
+    """tools/ssl_resynth.py: token shard -> one wav per utterance."""
+    from rstnet_tpu.tools import ssl_resynth
+    from rstnet_tpu.models import glm4v_decoder as gd
+
+    dec = _tiny_decoder()
+    monkeypatch.setattr(gd, "load_glm4v_decoder", lambda d: dec)
+    shard = tmp_path / "tok.npz"
+    np.savez(shard, utt1=np.arange(12, dtype=np.int32) % 40,
+             utt2=np.arange(25, dtype=np.int32) % 40)
+    out = tmp_path / "wavs"
+    rc = ssl_resynth.main([
+        "--tokens", str(shard), "--decoder-checkpoint", "unused",
+        "--out_dir", str(out),
+    ])
+    assert rc == 0
+    import wave
+
+    for utt, n_tok in (("utt1", 12), ("utt2", 25)):
+        with wave.open(str(out / f"{utt}.wav")) as f:
+            assert f.getframerate() == dec.hift.config.sampling_rate
+            expect = dec.flow.config.mel_len(n_tok) * dec.hift.config.total_upsample
+            assert f.getnframes() == expect
+
+
 def test_config_yaml_parsing():
     from rstnet_tpu.models.glm4v_decoder import configs_from_yaml
 
