@@ -12,8 +12,6 @@ hyperpyyaml ``config.yaml``) into this framework's param pytrees.
 from __future__ import annotations
 
 import dataclasses
-import math
-import re
 from typing import Mapping, Optional
 
 import jax
@@ -189,7 +187,6 @@ def convert_glm4v_flow(sd: SD, model: GLM4VFlow) -> dict:
                 sd,
                 f"{est}.down_blocks.{i}.2" if is_last else f"{est}.down_blocks.{i}.2.conv",
             ),
-            "is_last": is_last,
         })
     for i in range(u.num_mid_blocks):
         unet["mid"].append({
@@ -207,7 +204,6 @@ def convert_glm4v_flow(sd: SD, model: GLM4VFlow) -> dict:
                 if is_last
                 else _conv_transpose(sd, f"{est}.up_blocks.{i}.2.conv")
             ),
-            "is_last": is_last,
         })
 
     return {
@@ -241,8 +237,6 @@ def convert_hift(sd: SD, model: HiFTGenerator) -> dict:
             "convs2": [_conv(sd, f"{pre}.convs2.{j}") for j in range(n)],
             "alpha1": [_g(sd, f"{pre}.activations1.{j}.alpha") for j in range(n)],
             "alpha2": [_g(sd, f"{pre}.activations2.{j}.alpha") for j in range(n)],
-            "dilations": tuple(dilations),
-            "kernel": kernel,
         }
 
     params = {
@@ -424,6 +418,16 @@ class GLM4VAudioDecoder:
     token_overlap_len: int = 5
     mel_cache_len: int = 1
 
+    def __post_init__(self):
+        # jit per (shape, static) combination — eager on a remotely-attached
+        # TPU dispatches each op over the tunnel. Offline synthesis is one
+        # shape per token length; streaming compiles once per block index
+        # (the prompt grows each block, as in the reference).
+        self._flow_infer = jax.jit(
+            self.flow.inference, static_argnames=("n_timesteps",)
+        )
+        self._hift_infer = jax.jit(self.hift.inference)
+
     @property
     def mel_overlap_len(self) -> int:
         cfg = self.flow.config
@@ -442,7 +446,7 @@ class GLM4VAudioDecoder:
             token = jnp.concatenate([prompt_token, token], axis=1)
         T_mel = cfg.mel_len(token.shape[1])
         z = jax.random.normal(key, (token.shape[0], T_mel, cfg.output_size))
-        mel = self.flow.inference(self.flow_params, token, z, prompt_feat=prompt_feat)
+        mel = self._flow_infer(self.flow_params, token, z, prompt_feat=prompt_feat)
         if prompt_feat is not None and prompt_feat.shape[1] > 0:
             mel = mel[:, prompt_feat.shape[1]:]
         return mel
@@ -454,7 +458,7 @@ class GLM4VAudioDecoder:
         key = key if key is not None else jax.random.PRNGKey(42)
         kz, kh = jax.random.split(key)
         mel = self._mel(token, kz)
-        wav, _ = self.hift.inference(self.hift_params, mel, key=kh)
+        wav, _ = self._hift_infer(self.hift_params, mel, key=kh)
         return wav
 
     def stream_inference(
@@ -498,14 +502,14 @@ class GLM4VAudioDecoder:
             if not finalize:
                 mel_overlap = full_mel[:, -self.mel_overlap_len:]
                 full_mel = full_mel[:, : full_mel.shape[1] - self.mel_overlap_len]
-                wav, src = self.hift.inference(
+                wav, src = self._hift_infer(
                     self.hift_params, full_mel, key=kh, cache_source=cache_source
                 )
                 hift_mel_cache = full_mel[:, -self.mel_cache_len:]
                 hift_source_cache = src[:, -self.source_cache_len:]
                 wav = wav[:, : wav.shape[1] - self.source_cache_len]
             else:
-                wav, _ = self.hift.inference(
+                wav, _ = self._hift_infer(
                     self.hift_params, full_mel, key=kh, cache_source=cache_source
                 )
             mels.append(mel if finalize else full_mel)

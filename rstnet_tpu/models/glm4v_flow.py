@@ -433,7 +433,6 @@ def init_unet(key, cfg: UNetConfig) -> dict:
             "resnet": _resnet1d_p(next(keys), out_ch, ch, t_dim),
             "tx": [_txblock_p(next(keys), cfg, ch) for _ in range(cfg.n_blocks)],
             "down": _conv1d_p(next(keys), 3, ch, ch),
-            "is_last": is_last,
         }
         params["down"].append(blk)
         out_ch = ch
@@ -450,7 +449,6 @@ def init_unet(key, cfg: UNetConfig) -> dict:
             "tx": [_txblock_p(next(keys), cfg, up_chs[i + 1]) for _ in range(cfg.n_blocks)],
             # transpose conv stored pre-flipped in [width, in, out]
             "up": _conv1d_p(next(keys), 4 if not is_last else 3, up_chs[i + 1], up_chs[i + 1]),
-            "is_last": is_last,
         }
         params["up"].append(blk)
     params["final_block"] = {
@@ -487,14 +485,14 @@ def apply_unet(cfg: UNetConfig, params, x, mask, mu, t, spks=None, cond=None):
     h = jnp.concatenate(feats, axis=-1)
 
     hiddens, masks = [], [mask]
-    for blk in params["down"]:
+    for i, blk in enumerate(params["down"]):
         m = masks[-1]
         bias = m[:, :, None] * m[:, None, :]
         h = _apply_resnet1d(blk["resnet"], h, m, t_emb)
         for tx in blk["tx"]:
             h = _apply_txblock(cfg, tx, h, bias)
         hiddens.append(h)
-        if blk["is_last"]:
+        if i == len(params["down"]) - 1:
             h = _conv1d(blk["down"], h * m[..., None], padding="SAME")
         else:
             h = _conv1d(blk["down"], h * m[..., None], stride=2, padding=[(1, 1)])
@@ -507,7 +505,7 @@ def apply_unet(cfg: UNetConfig, params, x, mask, mu, t, spks=None, cond=None):
         h = _apply_resnet1d(blk["resnet"], h, m, t_emb)
         for tx in blk["tx"]:
             h = _apply_txblock(cfg, tx, h, bias)
-    for blk in params["up"]:
+    for i, blk in enumerate(params["up"]):
         m = masks.pop()
         bias = m[:, :, None] * m[:, None, :]
         skip = hiddens.pop()
@@ -515,7 +513,7 @@ def apply_unet(cfg: UNetConfig, params, x, mask, mu, t, spks=None, cond=None):
         h = _apply_resnet1d(blk["resnet"], h, m, t_emb)
         for tx in blk["tx"]:
             h = _apply_txblock(cfg, tx, h, bias)
-        if blk["is_last"]:
+        if i == len(params["up"]) - 1:
             h = _conv1d(blk["up"], h * m[..., None], padding="SAME")
         else:
             h = _conv_transpose1d(blk["up"], h * m[..., None], stride=2, torch_padding=1)

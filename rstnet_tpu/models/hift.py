@@ -75,16 +75,16 @@ def _resblock_p(key, channels, kernel, dilations):
         "convs2": [_conv1d_p(next(keys), kernel, channels, channels) for _ in dilations],
         "alpha1": [jnp.ones((channels,)) for _ in dilations],
         "alpha2": [jnp.ones((channels,)) for _ in dilations],
-        "dilations": tuple(dilations),
-        "kernel": kernel,
     }
 
 
-def _apply_resblock(p, x):
+def _apply_resblock(p, x, kernel, dilations):
+    """kernel/dilations come from the config (static — the param pytree
+    must hold only arrays so the generator jits cleanly)."""
     for c1, c2, a1, a2, d in zip(
-        p["convs1"], p["convs2"], p["alpha1"], p["alpha2"], p["dilations"]
+        p["convs1"], p["convs2"], p["alpha1"], p["alpha2"], dilations
     ):
-        k = p["kernel"]
+        k = kernel
         xt = _snake(x, a1)
         xt = _conv1d(c1, xt, padding=[((k - 1) * d // 2,) * 2], rhs_dilation=d)
         xt = _snake(xt, a2)
@@ -208,11 +208,18 @@ class HiFTGenerator:
                     params["source_downs"][i], s_stft, stride=d,
                     padding=[(d // 2, d // 2)],
                 )
-            si = _apply_resblock(params["source_resblocks"][i], si)
+            si = _apply_resblock(
+                params["source_resblocks"][i], si,
+                cfg.source_resblock_kernel_sizes[i],
+                cfg.source_resblock_dilations[i],
+            )
             x = x + si[:, : x.shape[1]]
             xs = None
             for j in range(n_kernels):
-                r = _apply_resblock(params["resblocks"][i * n_kernels + j], x)
+                r = _apply_resblock(
+                    params["resblocks"][i * n_kernels + j], x,
+                    cfg.resblock_kernel_sizes[j], cfg.resblock_dilations[j],
+                )
                 xs = r if xs is None else xs + r
             x = xs / n_kernels
         x = jax.nn.leaky_relu(x)  # default torch slope 0.01 (generator.py:373)

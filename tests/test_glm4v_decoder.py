@@ -312,7 +312,6 @@ def _convert_unet(tmod, cfg):
                 sd,
                 f"{est}.down_blocks.{i}.2" if is_last else f"{est}.down_blocks.{i}.2.conv",
             ),
-            "is_last": is_last,
         })
     for i in range(cfg.num_mid_blocks):
         params["mid"].append({
@@ -326,7 +325,6 @@ def _convert_unet(tmod, cfg):
             "tx": [tx(f"{est}.up_blocks.{i}.1.{j}") for j in range(cfg.n_blocks)],
             "up": (gd._conv(sd, f"{est}.up_blocks.{i}.2") if is_last
                    else gd._conv_transpose(sd, f"{est}.up_blocks.{i}.2.conv")),
-            "is_last": is_last,
         })
     return params
 
