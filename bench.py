@@ -252,11 +252,11 @@ def bench_8b(n_frames: int = 20) -> dict:
     from rstnet_tpu.core import param_count
 
     out_d = {"int8_8b_params_b": round(param_count(params) / 1e9, 2)}
-    # Measured ceiling (2026-08-17): B=16 fits and serves at ~69 ms/frame;
-    # B=24 fails in the remote compiler (HBM buffer assignment) despite the
-    # naive 98 MB/session arithmetic suggesting room — activation workspace
-    # at batch 24 x context 3000 pushes past the 16 GB budget. The sweep
-    # records the largest batch that actually compiles and fits.
+    # Round-2's B=24 HBM buffer-assignment failure was the fully-unrolled
+    # layer scan: each unrolled ring-cache update copied the whole
+    # [B, H, 3000, 128] slab as a temp (~70 MB x 64 = 4.5 GB). The unroll
+    # is now memory-bounded (utils/compile.py::decode_layer_unroll), so
+    # the sweep records the largest batch that compiles and fits.
     for B in (1, 16, 24, 32):
         try:
             state = gen.init_state(B)

@@ -522,8 +522,13 @@ class Backbone:
             )
             return h, new_kv
 
-        # unroll the layer loop for short decode steps (see transformer.py)
-        unroll = self.cfg.n_layer if (T <= 8 and jax.default_backend() == "tpu") else 1
+        # unroll the layer loop for short decode steps, bounded by the
+        # per-layer KV-slab temp cost (full unroll at B=1; rolled for large
+        # batched serving where unrolled cache updates copy ~70 MB/layer —
+        # the 8B B=24 HBM buffer-assignment failure)
+        from rstnet_tpu.utils.compile import decode_layer_unroll
+
+        unroll = decode_layer_unroll(self.cfg.n_layer, state["kv"], T)
         x, new_kv = lax.scan(
             body, x, (params["blocks"], windows, state["kv"]), unroll=unroll
         )

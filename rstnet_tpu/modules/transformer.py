@@ -412,9 +412,11 @@ class StreamingTransformer:
 
         # Decode steps are latency-bound: unrolling the layer loop lets XLA
         # prefetch each layer's weights during the previous layer's compute
-        # instead of dynamic-slicing them per scan iteration. (TPU only —
-        # on CPU it just multiplies compile time.)
-        unroll = self.num_layers if (T <= 8 and jax.default_backend() == "tpu") else 1
+        # instead of dynamic-slicing them per scan iteration — bounded by
+        # the per-layer KV-slab temp cost (utils/compile.py).
+        from rstnet_tpu.utils.compile import decode_layer_unroll
+
+        unroll = decode_layer_unroll(self.num_layers, state["kv"], T)
         x, new_kv = lax.scan(
             body, x, (params["layers"], state["kv"]), unroll=unroll
         )

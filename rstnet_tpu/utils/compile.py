@@ -15,6 +15,7 @@ from functools import wraps
 from typing import Callable
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from rstnet_tpu.core import cast_floating
@@ -76,3 +77,28 @@ def profile_trace(log_dir: str):
     """jax.profiler context for trace capture (replaces the reference's
     wall-clock-only timers with real device traces, SURVEY §5)."""
     return jax.profiler.trace(log_dir)
+
+
+def decode_layer_unroll(n_layers: int, kv_cache, chunk_len: int) -> int:
+    """Full-or-rolled layer-scan unroll for decode steps.
+
+    Unrolling the layer loop lets XLA prefetch each layer's weights during
+    the previous layer's compute (a measured decode-latency win at B=1),
+    but every unrolled ring-cache update materializes a COPY of that
+    layer's whole [B, H, capacity, head_dim] K/V slab as an HLO temp — at
+    8B serving scale (context 3000) a fully unrolled 32-layer step carries
+    ~4.5 GB of such temps at B=24 and fails HBM buffer assignment, while
+    B=1 costs only ~200 MB and B=16 (~3 GB) still fits. PARTIAL unroll is
+    never used: a while loop whose body re-updates slices of the carried
+    stacked cache crashes the TPU compile helper outright (measured
+    2026-08-19 at 8B for unroll 5/7/10). So: FULL unroll when the total
+    slab-copy cost fits ``RSTNET_UNROLL_TEMP_BUDGET`` bytes (default
+    4 GiB), otherwise a fully rolled scan whose carry aliases in place.
+    CPU always rolls (unroll only multiplies compile time there).
+    """
+    if chunk_len > 8 or jax.default_backend() != "tpu":
+        return 1
+    k = kv_cache["k"]  # [L, B, H, cap, hd]
+    per_layer = 2 * int(np.prod(k.shape[1:])) * k.dtype.itemsize
+    budget = int(os.environ.get("RSTNET_UNROLL_TEMP_BUDGET", 4 << 30))
+    return n_layers if n_layers * per_layer <= budget else 1

@@ -63,3 +63,28 @@ def test_dtype_policy_and_checkpoint():
     # gradients still flow through the remat boundary
     gr = jax.grad(g)(w, x)
     assert bool(jnp.isfinite(gr).all())
+
+
+def test_decode_layer_unroll_memory_bound(monkeypatch):
+    """Full unroll for single-session decode; rolled down when the
+    per-layer KV-slab temp cost at large batch would blow HBM (the 8B
+    B=24 buffer-assignment failure)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rstnet_tpu.utils.compile import decode_layer_unroll
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    kv_small = {"k": jnp.zeros((32, 1, 8, 3000, 128), jnp.int8)}
+    assert decode_layer_unroll(32, kv_small, 1) == 32
+    # 8B B=16 (~3 GB of slab copies) still fully unrolls under 4 GiB...
+    kv_16 = {"k": jnp.zeros((32, 16, 8, 3000, 128), jnp.int8)}
+    assert decode_layer_unroll(32, kv_16, 1) == 32
+    # ...but B=24 (~4.5 GB) rolls FULLY (partial unroll crashes the
+    # compiler; see decode_layer_unroll docstring)
+    kv_big = {"k": jnp.zeros((32, 24, 8, 3000, 128), jnp.int8)}
+    assert decode_layer_unroll(32, kv_big, 1) == 1
+    # long chunks and CPU never unroll
+    assert decode_layer_unroll(32, kv_small, 16) == 1
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert decode_layer_unroll(32, kv_small, 1) == 1
