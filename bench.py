@@ -248,17 +248,23 @@ def bench_8b(n_frames: int = 20) -> dict:
     # int8 ring-KV to match the int8 weights: half the per-session cache
     # (196 -> 98 MB at context 3000) buys double the session capacity
     gen = LMGen(model, delays=(0,) + (1,) * cfg.n_q, kv_int8=True)
+    # per-layer donated ring buffers for the batch sweep: round-2's B=24
+    # HBM failure was the stacked KV layout — a fully-unrolled layer scan
+    # copies every layer's [B, H, 3000, 128] slab as a temp (~70 MB x 64
+    # = 4.5 GB), and a rolled scan double-buffers the whole stacked cache
+    # carry. Unstacked leaves alias in place (token-identical, tested).
+    gen_u = LMGen(
+        model, delays=(0,) + (1,) * cfg.n_q, kv_int8=True, kv_unstacked=True
+    )
     step = jax.jit(gen.step, donate_argnums=(1,))
+    step_u = jax.jit(gen_u.step, donate_argnums=(1,))
     from rstnet_tpu.core import param_count
 
     out_d = {"int8_8b_params_b": round(param_count(params) / 1e9, 2)}
-    # Round-2's B=24 HBM buffer-assignment failure was the fully-unrolled
-    # layer scan: each unrolled ring-cache update copied the whole
-    # [B, H, 3000, 128] slab as a temp (~70 MB x 64 = 4.5 GB). The unroll
-    # is now memory-bounded (utils/compile.py::decode_layer_unroll), so
-    # the sweep records the largest batch that compiles and fits.
-    for B in (1, 16, 24, 32):
+    for B in (1, 16, 24, 32, 48, 64):
         try:
+            if B > 1:
+                gen, step = gen_u, step_u
             state = gen.init_state(B)
             k = jax.random.PRNGKey(2)
             for _ in range(3):

@@ -46,6 +46,11 @@ class LMGen:
     # store the backbone ring K/V as int8 with per-step scales: half the
     # cache memory and attention HBM traffic per frame (serving option)
     kv_int8: bool = False
+    # one donated ring buffer per layer instead of a stacked [L, ...] array:
+    # cache updates alias in place, eliminating the stacked layout's
+    # per-layer slab copies (unrolled) / whole-cache double buffer (rolled)
+    # — the large-batch 8B serving option (models/backbone.py init_state)
+    kv_unstacked: bool = False
 
     def __post_init__(self):
         if not self.delays:
@@ -78,7 +83,10 @@ class LMGen:
             # bounds its attention lookback (min_pos), drives its own
             # delay-warmup, and is zeroed by reset_slots on session join.
             "age": jnp.zeros((batch_size,), jnp.int32),
-            "lm": self.model.init_state(batch_size, dtype, kv_int8=self.kv_int8),
+            "lm": self.model.init_state(
+                batch_size, dtype, kv_int8=self.kv_int8,
+                kv_unstacked=self.kv_unstacked,
+            ),
         }
 
     def reset_slots(self, state: State, slots) -> State:

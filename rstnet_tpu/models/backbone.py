@@ -484,14 +484,28 @@ class Backbone:
     # -- streaming --------------------------------------------------------------
 
     def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1,
-                   kv_int8: bool = False) -> State:
+                   kv_int8: bool = False, kv_unstacked: bool = False) -> State:
         """``kv_int8``: store the ring K/V as int8 with per-step scales —
-        half the cache memory and attention HBM traffic (serving option)."""
+        half the cache memory and attention HBM traffic (serving option).
+
+        ``kv_unstacked``: ONE ring buffer per layer (a list) instead of a
+        stacked ``[L, ...]`` array. The decode step then python-loops the
+        layers so every layer's cache update aliases its own donated leaf
+        in place — the stacked layout costs either a per-layer slab COPY
+        when the layer scan unrolls or a double-buffered whole-cache carry
+        when it rolls, and at 8B serving scale (context 3000) those copies
+        are what capped sessions/chip (see utils/compile.py
+        ``decode_layer_unroll``). Stacked stays the default: training and
+        the scan-based offline paths want one leaf per logical tensor."""
         cfg = self.cfg
         assert cfg.context is not None, "streaming needs config.context to bound the KV ring"
         cap = cfg.context + chunk_size - 1
-        shape = (cfg.n_layer, batch_size, cfg.n_query_groups, cap, cfg.head_size)
-        kv = ring_kv_buffers(shape, dtype, kv_int8)
+        if kv_unstacked:
+            shape = (batch_size, cfg.n_query_groups, cap, cfg.head_size)
+            kv = [ring_kv_buffers(shape, dtype, kv_int8) for _ in range(cfg.n_layer)]
+        else:
+            shape = (cfg.n_layer, batch_size, cfg.n_query_groups, cap, cfg.head_size)
+            kv = ring_kv_buffers(shape, dtype, kv_int8)
         return {"kv": kv, "offset": jnp.zeros((), jnp.int32)}
 
     def step(self, params: Params, state: State, x: jax.Array,
@@ -501,7 +515,8 @@ class Backbone:
         ``min_pos`` ([B] int32, optional): per-batch-row limit on attention
         lookback (multi-session batched serving; see ``masked_attention``)."""
         T = x.shape[1]
-        cap = state["kv"]["k"].shape[-2]
+        unstacked = isinstance(state["kv"], (list, tuple))
+        cap = (state["kv"][0] if unstacked else state["kv"])["k"].shape[-2]
         assert T <= cap - self.cfg.context + 1, (
             f"chunk of {T} steps exceeds the ring's chunk_size "
             f"({cap - self.cfg.context + 1}): older in-window keys would be "
@@ -514,6 +529,21 @@ class Backbone:
         sin = sin.astype(x.dtype)
         pos_q = positions.astype(jnp.int32)
         windows = self.layer_windows()
+
+        if unstacked:
+            # per-layer cache leaves: python loop, each layer's ring update
+            # aliases its own donated buffer in place (no slab copies, no
+            # double-buffered stacked carry — the large-batch serving path)
+            new_kvs = []
+            for i in range(self.cfg.n_layer):
+                block = jax.tree_util.tree_map(lambda a, i=i: a[i], params["blocks"])
+                x, nk = self._block(
+                    block, x, cos, sin, pos_q, None, windows[i],
+                    state["kv"][i], offset, min_pos=min_pos,
+                )
+                new_kvs.append(nk)
+            x = _norm_apply(self.cfg, params["ln_f"], x)
+            return x, {"kv": new_kvs, "offset": offset + T}
 
         def body(h, inp):
             block, window, kv = inp

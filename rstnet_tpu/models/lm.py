@@ -300,8 +300,10 @@ class SpeechTextLM:
     # -- streaming inference pieces ------------------------------------------------
 
     def init_state(self, batch_size: int, dtype=jnp.bfloat16,
-                   kv_int8: bool = False) -> State:
-        return self.backbone.init_state(batch_size, dtype, kv_int8=kv_int8)
+                   kv_int8: bool = False, kv_unstacked: bool = False) -> State:
+        return self.backbone.init_state(
+            batch_size, dtype, kv_int8=kv_int8, kv_unstacked=kv_unstacked
+        )
 
     def step_global(
         self, params: Params, state: State, frame: jax.Array,

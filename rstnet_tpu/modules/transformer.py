@@ -374,16 +374,23 @@ class StreamingTransformer:
     # -- streaming ----------------------------------------------------------
 
     def init_state(self, batch_size: int, dtype=jnp.bfloat16, chunk_size: int = 1,
-                   kv_int8: bool = False) -> State:
+                   kv_int8: bool = False, kv_unstacked: bool = False) -> State:
         """Streaming state. ``chunk_size`` is the max steps fed per ``step``
         call: the ring keeps ``context + chunk_size - 1`` slots so that the
         earliest query of a chunk still sees its full attention window
         (chunk_size=1 → capacity == context, the generation-loop case).
         ``kv_int8`` stores the ring K/V as int8 with per-step scales — half
-        the cache memory and attention HBM traffic (serving option)."""
+        the cache memory and attention HBM traffic (serving option).
+        ``kv_unstacked`` keeps one donated ring per layer so decode cache
+        updates alias in place (large-batch serving; see
+        ``models/backbone.py::init_state``)."""
         cap = self.kv_capacity + chunk_size - 1
-        shape = (self.num_layers, batch_size, self.num_heads, cap, self.head_dim)
-        kv = ring_kv_buffers(shape, dtype, kv_int8)
+        if kv_unstacked:
+            shape = (batch_size, self.num_heads, cap, self.head_dim)
+            kv = [ring_kv_buffers(shape, dtype, kv_int8) for _ in range(self.num_layers)]
+        else:
+            shape = (self.num_layers, batch_size, self.num_heads, cap, self.head_dim)
+            kv = ring_kv_buffers(shape, dtype, kv_int8)
         return {"kv": kv, "offset": jnp.zeros((), jnp.int32)}
 
     def step(self, params: Params, state: State, x: jax.Array,
@@ -393,7 +400,8 @@ class StreamingTransformer:
         ``min_pos`` ([B] int32, optional): per-batch-row attention lookback
         limit (multi-session batched serving; see ``masked_attention``)."""
         B, T, C = x.shape
-        cap = state["kv"]["k"].shape[-2]
+        unstacked = isinstance(state["kv"], (list, tuple))
+        cap = (state["kv"][0] if unstacked else state["kv"])["k"].shape[-2]
         assert T <= cap - self.kv_capacity + 1, (
             f"chunk of {T} steps exceeds the ring's chunk_size "
             f"({cap - self.kv_capacity + 1}): older in-window keys would be "
@@ -404,6 +412,15 @@ class StreamingTransformer:
             positions = offset + jnp.arange(T)
             pos_emb = create_sin_embedding(positions, C, self.max_period)[None]
             x = x + self.positional_scale * pos_emb.astype(x.dtype)
+
+        if unstacked:
+            # per-layer donated cache leaves (see backbone.py step)
+            new_kvs = []
+            for i in range(self.num_layers):
+                layer = jax.tree_util.tree_map(lambda a, i=i: a[i], params["layers"])
+                x, nk = self._layer(layer, x, offset, state["kv"][i], min_pos=min_pos)
+                new_kvs.append(nk)
+            return x, {"kv": new_kvs, "offset": offset + T}
 
         def body(h, inp):
             layer, kv = inp

@@ -332,3 +332,47 @@ def test_context_wraparound_soak():
     np.testing.assert_allclose(
         np.asarray(hidden_long), np.asarray(hidden_fresh), atol=1e-5
     )
+
+
+def test_kv_unstacked_matches_stacked():
+    """kv_unstacked=True (one donated ring per layer, python layer loop) is
+    token-identical to the stacked default — it is purely a memory-layout
+    change for large-batch serving (models/backbone.py init_state)."""
+    m = _model()
+    params = m.init(jax.random.PRNGKey(0))
+    outs = {}
+    for unstacked in (False, True):
+        gen = LMGen(m, use_sampling=False, kv_unstacked=unstacked)
+        step = jax.jit(gen.step)
+        state = gen.init_state(2, dtype=jnp.float32)
+        toks = []
+        key = jax.random.PRNGKey(1)
+        for _ in range(6):
+            out, _, state = step(params, state, key)
+            toks.append(np.asarray(out))
+        outs[unstacked] = np.stack(toks)
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_kv_unstacked_moshi_matches_stacked():
+    """Same layout equivalence for the MoshiLMModel streaming transformer."""
+    from tests.test_server import _tiny_state  # tiny moshi model builder
+
+    s = _tiny_state()
+    m = s.lm_gen.model
+    params = s.lm_params
+    outs = {}
+    for unstacked in (False, True):
+        gen = LMGen(m, delays=m.delays, use_sampling=False, kv_unstacked=unstacked)
+        step = jax.jit(gen.step)
+        state = gen.init_state(1, dtype=jnp.float32)
+        toks = []
+        key = jax.random.PRNGKey(2)
+        user = jax.random.randint(
+            jax.random.PRNGKey(3), (1, gen.num_user_streams, 4, 1), 0, 16
+        )
+        for t in range(4):
+            out, _, state = step(params, state, key, user[:, :, t])
+            toks.append(np.asarray(out))
+        outs[unstacked] = np.stack(toks)
+    np.testing.assert_array_equal(outs[False], outs[True])
