@@ -162,7 +162,9 @@ def bench_e2e(n_frames: int = 30) -> dict:
     mimi = mimi_24k()
     mimi_params = jax.block_until_ready(mimi.init(jax.random.PRNGKey(0)))
     model = _flagship(tiny=False)
-    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q)
+    gen = LMGen(
+        model, delays=(0,) + (1,) * model.config.n_q, kv_unstacked=True
+    )
     lm_params = jax.block_until_ready(model.init(jax.random.PRNGKey(1), jnp.bfloat16))
 
     enc = jax.jit(mimi.encode_step, donate_argnums=(1,))
@@ -364,7 +366,10 @@ def bench_sessions(n_frames: int = 20, sizes=(64,)) -> dict:
     mimi = mimi_24k()
     mimi_params = jax.block_until_ready(mimi.init(jax.random.PRNGKey(0)))
     model = _flagship(tiny=False)
-    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q, kv_int8=True)
+    gen = LMGen(
+        model, delays=(0,) + (1,) * model.config.n_q, kv_int8=True,
+        kv_unstacked=True,
+    )
     lm_params = jax.block_until_ready(model.init(jax.random.PRNGKey(1), jnp.bfloat16))
 
     enc = jax.jit(mimi.encode_step, donate_argnums=(1,))
@@ -423,7 +428,9 @@ def main():
     model = _flagship(tiny=(size == "tiny"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "50"))
 
-    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q)
+    # unstacked per-layer KV: token-identical to stacked, measured 4-7%
+    # faster per frame (in-place donated cache updates; ARCHITECTURE.md)
+    gen = LMGen(model, delays=(0,) + (1,) * model.config.n_q, kv_unstacked=True)
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     from rstnet_tpu.ops.pallas_depformer import pallas_depformer_mode
 

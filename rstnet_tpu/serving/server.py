@@ -432,7 +432,8 @@ def main(argv=None):
             depformer_num_layers=1,
         )
         lm_params = lm.init(jax.random.PRNGKey(1))
-        lm_gen = LMGen(lm, delays=lm.delays, top_k=32, kv_int8=args.kv_int8)
+        lm_gen = LMGen(lm, delays=lm.delays, top_k=32, kv_int8=args.kv_int8,
+                       kv_unstacked=True)
         if args.batch:
             from rstnet_tpu.serving.batcher import SessionBatcher
 
@@ -524,7 +525,8 @@ def main(argv=None):
         lm_params["text_linear"]["weight"] = quantize_weight_int8(
             lm_params["text_linear"]["weight"]
         )
-    lm_gen = LMGen(lm, delays=lm.delays, kv_int8=args.kv_int8)
+    lm_gen = LMGen(lm, delays=lm.delays, kv_int8=args.kv_int8,
+                   kv_unstacked=True)
     if args.batch:
         from rstnet_tpu.serving.batcher import SessionBatcher
 
