@@ -16,6 +16,65 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _wait_for_healthy_backend(max_wait_s: float = 1500.0) -> None:
+    """Bounded wait for the TPU backend before touching jax in this process.
+
+    The tunneled axon backend can wedge after an aborted remote (Mosaic)
+    compile elsewhere: a trivial jit then hangs indefinitely for every
+    process (see ARCHITECTURE.md "Pallas status"). This bench runs
+    unattended at round end; instead of hanging forever, probe a trivial
+    jit in a sacrificial subprocess and wait (bounded) for recovery,
+    exiting nonzero if the chip never comes back — no JSON line beats a
+    fabricated one. Skipped on CPU (RSTNET_PLATFORM=cpu) and with
+    RSTNET_BENCH_NO_PROBE=1.
+    """
+    if os.environ.get("RSTNET_BENCH_NO_PROBE"):
+        return
+    if os.environ.get("RSTNET_PLATFORM", "").startswith("cpu"):
+        return
+    import subprocess
+
+    max_wait_s = float(os.environ.get("RSTNET_BENCH_PROBE_WAIT_S", max_wait_s))
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np; "
+        "np.asarray(jax.jit(lambda x: x * 2)(jnp.ones(4))); print('probe-ok')"
+    )
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=min(300.0, max_wait_s),
+                capture_output=True,
+            )
+            if r.returncode == 0 and b"probe-ok" in r.stdout:
+                if attempt > 1:
+                    print(
+                        f"bench: backend recovered after {attempt} probes",
+                        file=sys.stderr,
+                    )
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(
+                f"bench: TPU backend unhealthy after {attempt} probes over "
+                f"{max_wait_s:.0f}s; aborting without a result",
+                file=sys.stderr,
+            )
+            sys.exit(3)
+        print(
+            f"bench: backend probe {attempt} failed (wedged?); retrying",
+            file=sys.stderr,
+        )
+        time.sleep(60.0)
+
+
+_wait_for_healthy_backend()
+
 import jax
 import jax.numpy as jnp
 
