@@ -56,6 +56,9 @@ def torch_reference():
         pytest.skip("reference tree not available")
     torch = pytest.importorskip("torch")
     torch.manual_seed(0)
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+    # front-position + purge colliding top-level names (the GLM4V tree has
+    # its own utils.py that can shadow MLLM_v2's utils package)
+    from tests.refpath import ensure_reference_root
+
+    ensure_reference_root(REFERENCE_ROOT)
     return torch

@@ -52,21 +52,15 @@ def test_collate_golden_vs_reference(torch_reference):
     """Full batch collation matches the reference Collate_Fn_Factory."""
     torch = torch_reference
     # the reference dataloader imports optional audio deps at module level;
-    # stub the ones absent from this environment
-    import sys
-    import types
+    # stub the ones absent from this environment (cumulatively — other test
+    # files stub the same names with different attribute subsets), and make
+    # sure top-level `utils` resolves against MLLM_v2 even if another test
+    # in this worker imported the GLM4V tree (whose utils.py shadows it)
+    from tests.refpath import MLLM_V2_ROOT, ensure_reference_root, stub_module
 
-    import importlib.machinery
-
-    for name in ("omegaconf", "torchaudio"):
-        if name not in sys.modules:
-            stub = types.ModuleType(name)
-            # a real ModuleSpec so importlib.util.find_spec on the stub
-            # (e.g. transformers' availability probes) keeps working
-            stub.__spec__ = importlib.machinery.ModuleSpec(name, None)
-            if name == "omegaconf":
-                stub.OmegaConf = object
-            sys.modules[name] = stub
+    stub_module("omegaconf", OmegaConf=object)
+    stub_module("torchaudio")
+    ensure_reference_root(MLLM_V2_ROOT)
     from utils.dataloader import Collate_Fn_Factory
 
     class TorchStub:

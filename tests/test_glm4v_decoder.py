@@ -38,18 +38,18 @@ def _install_stubs():
         m.ConformerBlock = nn.Module
         sys.modules["conformer"] = m
 
-    if "omegaconf" not in sys.modules:
-        m = types.ModuleType("omegaconf")
+    class DictConfig(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:  # noqa: B904
+                raise AttributeError(k) from e
 
-        class DictConfig(dict):
-            def __getattr__(self, k):
-                try:
-                    return self[k]
-                except KeyError as e:  # noqa: B904
-                    raise AttributeError(k) from e
+    # cumulative: test_data.py stubs the same module with an OmegaConf
+    # attribute; whichever runs first must not break the other
+    from tests.refpath import stub_module
 
-        m.DictConfig = DictConfig
-        sys.modules["omegaconf"] = m
+    stub_module("omegaconf", DictConfig=DictConfig)
 
     if "diffusers" not in sys.modules:
         root = types.ModuleType("diffusers")
