@@ -389,14 +389,8 @@ def quantize_for_serving(model: SpeechTextLM, params: Params) -> Params:
     ~2x less HBM weight traffic per frame (the batch-1 decode bottleneck)."""
     from rstnet_tpu.models.backbone import quantize_backbone_int8
 
-    out = dict(params)
+    out = quantize_dep_for_serving(params)
     out["backbone"] = quantize_backbone_int8(params["backbone"])
-    out["codecformer"] = quantize_transformer_int8(params["codecformer"])
-    out["codecformer_in"] = quantize_weight_int8(params["codecformer_in"])
-    out["audio_linears"] = dict(params["audio_linears"])
-    out["audio_linears"]["weight"] = quantize_weight_int8(
-        params["audio_linears"]["weight"]
-    )
     return out
 
 

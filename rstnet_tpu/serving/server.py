@@ -94,6 +94,10 @@ class ServerState:
     def warmup(self, n_frames: int = 4) -> None:
         """Compile + steady-state the three jitted steps
         (reference ``server.py:64-73``), plus the catch-up scan shape."""
+        if self.scan_frames > 1:
+            # the scan path asserts steps > max_delay; enough single frames
+            # first, or its compile would hit mid-session instead of here
+            n_frames = max(n_frames, self.lm_gen.max_delay + 1)
         for _ in range(n_frames):
             chunk = jnp.zeros((1, 1, self.frame_size))
             self.handle_frame_array(np.asarray(chunk[0, 0]))
@@ -487,36 +491,30 @@ def main(argv=None):
 
         lm_params = dict(lm_params)
         lm_params["depformer"] = pad_codecformer_gating(lm_params["depformer"])
+    def _int8_dep_slice(p):
+        # the depformer slice (micro-step stacks, per-codebook input views,
+        # audio heads) — shared by --int8 and --int8-dep; keeps the int8
+        # depformer inside the fused micro-step kernel's envelope instead
+        # of mixed-precision fallback
+        from rstnet_tpu.modules.transformer import (
+            quantize_transformer_int8,
+            quantize_weight_int8,
+        )
+
+        p = dict(p)
+        p["depformer"] = quantize_transformer_int8(p["depformer"])
+        p["depformer_in"] = quantize_weight_int8(p["depformer_in"])
+        p["linears"] = dict(p["linears"])
+        p["linears"]["weight"] = quantize_weight_int8(p["linears"]["weight"])
+        return p
+
     if args.int8:
-        from rstnet_tpu.modules.transformer import (
-            quantize_transformer_int8,
-            quantize_weight_int8,
-        )
+        from rstnet_tpu.modules.transformer import quantize_transformer_int8
 
-        lm_params = dict(lm_params)
+        lm_params = _int8_dep_slice(lm_params)
         lm_params["transformer"] = quantize_transformer_int8(lm_params["transformer"])
-        lm_params["depformer"] = quantize_transformer_int8(lm_params["depformer"])
-        lm_params["depformer_in"] = quantize_weight_int8(lm_params["depformer_in"])
-        # quantize the audio head too (same as the flagship's
-        # quantize_for_serving): keeps the int8 depformer inside the fused
-        # micro-step kernel's envelope instead of mixed-precision fallback
-        lm_params["linears"] = dict(lm_params["linears"])
-        lm_params["linears"]["weight"] = quantize_weight_int8(
-            lm_params["linears"]["weight"]
-        )
-    if args.int8_dep and not args.int8:
-        from rstnet_tpu.modules.transformer import (
-            quantize_transformer_int8,
-            quantize_weight_int8,
-        )
-
-        lm_params = dict(lm_params)
-        lm_params["depformer"] = quantize_transformer_int8(lm_params["depformer"])
-        lm_params["depformer_in"] = quantize_weight_int8(lm_params["depformer_in"])
-        lm_params["linears"] = dict(lm_params["linears"])
-        lm_params["linears"]["weight"] = quantize_weight_int8(
-            lm_params["linears"]["weight"]
-        )
+    elif args.int8_dep:
+        lm_params = _int8_dep_slice(lm_params)
     if args.int8_head and not args.int8:
         from rstnet_tpu.modules.transformer import quantize_weight_int8
 

@@ -174,7 +174,7 @@ def _validator_script() -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), "cache_validate.py")
 
 
-def _validate_shared_tier(tier: str, timeout: float = 900.0) -> None:
+def _validate_shared_tier(tier: str, timeout: float = 900.0) -> bool:
     """Prove this host can deserialize every entry in a shared tier.
 
     Entries newer than this host's validation marker are deserialized in a
@@ -183,6 +183,11 @@ def _validate_shared_tier(tier: str, timeout: float = 900.0) -> None:
     with clean exceptions are evicted by the subprocess itself. The marker
     (``.validated/<fingerprint>-<jaxlib>``) is touched on success, so a
     fully validated tier costs one listdir per process.
+
+    Returns False when validation could not run at all (the sacrificial
+    subprocess fails before touching any entry — import error, bad env):
+    the tier is left untouched and unmarked, and the caller must not mount
+    it — an unvalidatable tier is indistinguishable from a poisoned one.
     """
     marker_dir = os.path.join(tier, ".validated")
     os.makedirs(marker_dir, exist_ok=True)
@@ -195,13 +200,13 @@ def _validate_shared_tier(tier: str, timeout: float = 900.0) -> None:
     lock_f = open(lock_path, "w")
     try:
         fcntl.flock(lock_f, fcntl.LOCK_EX)
-        _validate_shared_tier_locked(tier, marker, timeout)
+        return _validate_shared_tier_locked(tier, marker, timeout)
     finally:
         fcntl.flock(lock_f, fcntl.LOCK_UN)
         lock_f.close()
 
 
-def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> None:
+def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> bool:
     try:
         marker_mtime = os.stat(marker).st_mtime
     except OSError:
@@ -221,7 +226,7 @@ def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> None
     if not entries:
         with open(marker, "a"):
             os.utime(marker, (now, now))
-        return
+        return True
 
     entries.sort()
     env = dict(os.environ)
@@ -241,6 +246,12 @@ def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> None
         start = 0
         evicted = 0
         while start < len(entries):
+            # stale progress from a previous attempt must never be read as
+            # this attempt's position
+            try:
+                os.unlink(progress)
+            except OSError:
+                pass
             try:
                 proc = subprocess.run(
                     [sys.executable, _validator_script(), tier, listfile,
@@ -253,13 +264,26 @@ def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> None
                 rc = -1
             if rc == 0:
                 break
-            # crashed or hung: evict the entry it was working on, resume after
-            bad_idx = start
+            # Crashed or hung: the progress file names the entry it was
+            # working on — evict it and resume after. No progress file (or
+            # one from before `start`) means the child died before touching
+            # any entry: an environment failure, not a poisoned entry.
+            # Evicting would destroy healthy entries one by one, so leave
+            # the tier untouched and unmarked and tell the caller.
+            bad_idx = None
             try:
                 with open(progress) as f:
                     bad_idx = int(f.read().split()[0])
             except (OSError, ValueError, IndexError):
                 pass
+            if bad_idx is None or not start <= bad_idx < len(entries):
+                warnings.warn(
+                    "compile-cache validator subprocess failed before "
+                    f"processing any entry (rc={rc}); leaving the shared "
+                    "tier unvalidated",
+                    stacklevel=2,
+                )
+                return False
             try:
                 os.unlink(os.path.join(tier, entries[bad_idx]))
             except OSError:
@@ -281,6 +305,7 @@ def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> None
                 break
     with open(marker, "a"):
         os.utime(marker, (now, now))
+    return True
 
 
 def setup_persistent_cache(
@@ -313,8 +338,14 @@ def setup_persistent_cache(
         tier = os.path.join(base, f"{backend}-v{TIER_SCHEMA}")
         shared = False
     os.makedirs(tier, exist_ok=True)
-    if shared and validate:
-        _validate_shared_tier(tier)
+    if shared and validate and not _validate_shared_tier(tier):
+        # this host could not prove the shared tier safe — fall back to the
+        # (cold but crash-proof) per-host tier rather than gamble
+        tier = os.path.join(
+            base,
+            f"cpu-{_host_fingerprint()}-v{TIER_SCHEMA}-jaxlib{_jaxlib_tag()}",
+        )
+        os.makedirs(tier, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", tier)
     # A small-but-nonzero write threshold: XLA:CPU's executable.serialize()
     # has segfaulted nondeterministically after hundreds of writes in one

@@ -143,6 +143,83 @@ def test_validate_evicts_crashing_entry(tmp_path, monkeypatch):
     assert calls == []
 
 
+def test_validate_env_failure_keeps_tier(tmp_path, monkeypatch):
+    """A validator subprocess that dies before touching ANY entry is an
+    environment failure: nothing may be evicted, no marker written, and the
+    caller must be told (so it falls back to the per-host tier) — otherwise
+    a transient env problem would destroy the shared warm tier entry by
+    entry."""
+    tier = tmp_path / "shared"
+    tier.mkdir()
+    names = [f"{c}-cache" for c in "abc"]
+    for n in names:
+        (tier / n).write_bytes(b"payload")
+
+    def fake_run(cmd, env=None, timeout=None, stdout=None, stderr=None):
+        class R:
+            returncode = 1  # child failed without writing a progress file
+
+        return R()
+
+    monkeypatch.setattr(jax_cache.subprocess, "run", fake_run)
+    with pytest.warns(UserWarning, match="failed before processing"):
+        assert _validate_shared_tier(str(tier)) is False
+    left = sorted(n for n in os.listdir(str(tier)) if n.endswith("-cache"))
+    assert left == names  # nothing evicted
+    marker = tier / ".validated" / f"{_host_fingerprint()}-{_jaxlib_tag()}"
+    assert not marker.exists()
+
+
+def test_setup_falls_back_to_host_tier_when_unvalidatable(tmp_path, monkeypatch):
+    monkeypatch.setattr(jax_cache, "_validate_shared_tier", lambda t: False)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        tier = setup_persistent_cache(base_dir=str(tmp_path))
+        assert os.path.basename(tier).startswith(f"cpu-{_host_fingerprint()}-")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_validator_subprocess_keeps_valid_entry(tmp_path):
+    """The survival contract: a REAL cache entry written by this host's
+    serializer must come through subprocess validation untouched. (Eviction
+    of garbage alone is not enough — a broken deserialize recipe would pass
+    that test while silently wiping every warm entry.)"""
+    import subprocess
+    import sys
+
+    tier = tmp_path / "shared"
+    tier.mkdir()
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(tier))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        import jax.numpy as jnp
+
+        # unique shape/function so this compile cannot be in-memory cached
+        jax.jit(lambda x: x * 3.0 + 41.0)(jnp.ones((7, 13))).block_until_ready()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+    entries = [n for n in os.listdir(str(tier)) if n.endswith("-cache")]
+    assert entries, "compile did not write a persistent cache entry"
+
+    listfile = tmp_path / "entries.txt"
+    listfile.write_text("\n".join(entries))
+    progress = tmp_path / "progress.txt"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, jax_cache._validator_script(), str(tier),
+         str(listfile), str(progress), "0"],
+        env=env, timeout=300, capture_output=True,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    left = sorted(n for n in os.listdir(str(tier)) if n.endswith("-cache"))
+    assert left == sorted(entries)  # every valid entry survived
+
+
 def test_validator_subprocess_evicts_garbage_entry(tmp_path):
     """End-to-end: the real sacrificial subprocess drops undeserializable
     entries (clean-exception path) and exits 0."""
