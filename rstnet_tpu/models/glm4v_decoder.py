@@ -462,15 +462,23 @@ class GLM4VAudioDecoder:
         return wav
 
     def stream_inference(
-        self, token: jnp.ndarray, block_size: int = 25,
+        self, token: jnp.ndarray, block_size: Optional[int] = None,
         key: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         """Block-streaming synthesis (``flow_inference.py:97-141``): each
         token block is decoded with the full history as the flow prompt, mel
         blocks are cross-faded over ``mel_overlap_len`` frames with a
         hamming window, and the HiFT source tail is carried across blocks to
-        avoid phase glitches at the seams."""
+        avoid phase glitches at the seams.
+
+        ``block_size`` defaults to the checkpoint's conformer grid width
+        (``flow.encoder.block_size``) so streaming block hops stay aligned
+        with the block-causal attention grid the model was trained with —
+        the reference couples them the same way (``flow_inference.py:112``).
+        """
         cfg = self.flow.config
+        if block_size is None:
+            block_size = cfg.encoder.block_size
         key = key if key is not None else jax.random.PRNGKey(42)
         T = token.shape[1]
         window = np.hamming(2 * self.mel_overlap_len)

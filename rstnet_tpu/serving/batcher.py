@@ -111,6 +111,12 @@ class SessionBatcher:
         self._gen = [0] * B
         self._task: Optional[asyncio.Task] = None
         self.last_step_ms = 0.0
+        # tail-latency telemetry: every batched device step is one frame for
+        # every active session, so this IS the per-session frame-latency
+        # distribution (reference logs per-frame wall time, server.py:144)
+        from rstnet_tpu.utils.latency import FrameLatencyTracker
+
+        self.latency = FrameLatencyTracker(budget_ms=FRAME_SECONDS * 1000.0)
         # guards the streaming states: the device step runs in a worker
         # thread while acquire/release mutate the same states from the
         # event loop on session join/leave
@@ -203,6 +209,7 @@ class SessionBatcher:
             # per-frame transfer cost
             audio_np, out_np = jax.device_get((audio, out))
             self.last_step_ms = (time.perf_counter() - t0) * 1000.0
+            self.latency.record(self.last_step_ms)
             self.age += 1
             self.dec_age += valid_np.astype(np.int32)
         return audio_np, out_np, valid_np
@@ -281,6 +288,9 @@ class SessionBatcher:
                         "frame step %.1f ms exceeds the %.0f ms budget",
                         self.last_step_ms, FRAME_SECONDS * 1000,
                     )
+                n = len(self.latency.samples_ms)
+                if n and n % 750 == 0:  # ~once a minute at the frame rate
+                    logging.info("frame latency: %s", self.latency.summary())
             delay = next_tick - loop.time()
             if delay <= 0:  # fell behind: resync the clock instead of bursting
                 next_tick = loop.time()

@@ -137,7 +137,15 @@ class ServerState:
         (audio samples, N text tokens). Only callable past warmup
         (``steps > max_delay``) so every scanned frame is valid — the
         caller gates on that, keeping the compiled shape set fixed."""
-        assert self.steps > self.lm_gen.max_delay
+        if self.steps <= self.lm_gen.max_delay:
+            # runtime-reachable serving precondition: a bare assert would be
+            # stripped under `python -O` and silently emit UNGENERATED
+            # warmup tokens as audio/text (ADVICE r3)
+            raise RuntimeError(
+                "handle_frames_array called during warmup "
+                f"(step {self.steps} <= max_delay {self.lm_gen.max_delay}); "
+                "route warmup frames through handle_frame_array"
+            )
         n = pcm.shape[-1] // self.frame_size
         chunk = jnp.asarray(pcm, jnp.float32).reshape(1, 1, -1)
         codes, self.enc_state = self._encode_step(self.mimi_params, self.enc_state, chunk)
@@ -260,11 +268,19 @@ async def handle_chat(state: ServerState, request):
 
     ws = web.WebSocketResponse()
     await ws.prepare(request)
+    from rstnet_tpu.utils.latency import FrameLatencyTracker
+
     async with state.lock:
         state.reset()
         logging.info("chat session started")
         buffered = np.zeros((0,), np.float32)
         transport = None
+        # per-session tail telemetry (the budget is a tail budget): scan
+        # catch-up blocks record their amortized per-frame time — the block
+        # only exists because >1 frame was already buffered, i.e. the
+        # session is catching up faster than real time by construction
+        tracker = FrameLatencyTracker()
+        state.last_latency_summary = tracker.summary
         async for msg in ws:
             if msg.type == WSMsgType.TEXT and transport is None:
                 transport, reply = _handshake_reply(msg.data, state.frame_size)
@@ -291,6 +307,8 @@ async def handle_chat(state: ServerState, request):
                     audio, text_tokens = state.handle_frames_array(block)
                     ms = (time.perf_counter() - t0) * 1000
                     logging.info(f"{sf} frames handled in {ms:.1f} ms (scan)")
+                    for _ in range(sf):
+                        tracker.record(ms / sf)
                     await ws.send_bytes(TAG_AUDIO + transport.pack(audio))
                     for tok in text_tokens:
                         if tok in TEXT_SKIP_IDS:
@@ -310,11 +328,12 @@ async def handle_chat(state: ServerState, request):
                 audio, text_token = state.handle_frame_array(frame)
                 ms = (time.perf_counter() - t0) * 1000
                 logging.info(f"frame handled in {ms:.1f} ms")
+                tracker.record(ms)
                 if audio is not None:
                     await _send_frame(
                         ws, audio, text_token, state.text_tokenizer, transport
                     )
-        logging.info("chat session ended")
+        logging.info("chat session ended; frame latency: %s", tracker.summary())
     return ws
 
 
@@ -335,6 +354,13 @@ def build_app(state: ServerState):
     app = web.Application()
     app.router.add_get("/", handle_index)
     app.router.add_get("/api/chat", lambda req: handle_chat(state, req))
+
+    async def stats(request):
+        # tail-latency telemetry of the current/most recent session
+        summary = getattr(state, "last_latency_summary", None)
+        return web.json_response(summary() if summary else {"n_frames": 0})
+
+    app.router.add_get("/api/stats", stats)
     return app
 
 
@@ -348,6 +374,15 @@ def build_batched_app(batcher, text_tokenizer=None):
     app.router.add_get(
         "/api/chat", lambda req: handle_chat_batched(batcher, text_tokenizer, req)
     )
+
+    async def stats(request):
+        # every batched step is one frame for every active session, so the
+        # batcher's distribution IS the per-session frame-latency tail
+        return web.json_response(
+            {"active_sessions": len(batcher.sessions), **batcher.latency.summary()}
+        )
+
+    app.router.add_get("/api/stats", stats)
 
     async def start_clock(app):
         batcher.start()

@@ -38,6 +38,27 @@ kernel compiles warm across VM rotations.
 Replaces: the reference has no compilation cache (PyTorch eager/torch.compile
 re-JITs per process); this subsystem exists because the CI suite is
 compile-dominated on a 1-vCPU host.
+
+.. admonition:: jax 0.9 pitfall — the cache directory pins at FIRST compile
+
+   jax's compilation-cache singleton (``jax._src.compilation_cache``)
+   resolves and pins its backing directory lazily, at the process's first
+   traced compile. After that point,
+   ``jax.config.update("jax_compilation_cache_dir", ...)`` is **silently
+   ignored** — the new value is stored in the config but the already-open
+   file cache keeps writing to the original directory. Consequences:
+
+   - :func:`setup_persistent_cache` must run before anything jits
+     (conftest/bench do this at import time).
+   - A test that wants its own throwaway cache dir must either perform its
+     compile in a subprocess with ``JAX_COMPILATION_CACHE_DIR`` set in the
+     environment (see ``tests/test_jax_cache.py::
+     test_validator_subprocess_keeps_valid_entry``), or call
+     ``jax._src.compilation_cache.reset_cache()`` after updating the config
+     (private API; the subprocess route is preferred). Asserting that an
+     in-process post-compile config update produced entries in the new dir
+     is exactly the order-dependent failure seen in round 3: it passes only
+     when no earlier test in the same worker ever compiled.
 """
 
 import hashlib
@@ -71,15 +92,22 @@ _MAX_EVICTIONS = 50
 def _parse_isa_pin(flags: str | None = None) -> str | None:
     """The value of the last ``--xla_cpu_max_isa`` occurrence, or None.
 
-    XLA honors the last occurrence of a repeated flag, so so do we. A bare
+    XLA honors the last occurrence of a repeated flag, so so do we. Both
+    spellings XLA accepts are recognized: ``--xla_cpu_max_isa=VALUE`` and
+    the space-separated ``--xla_cpu_max_isa VALUE`` (ADVICE r3: the
+    two-token form used to parse as unpinned, cold-caching an AVX2 pin and
+    double-appending a conflicting ``=AVX2``). A bare trailing
     ``--xla_cpu_max_isa`` with no value is treated as unpinned.
     """
     if flags is None:
         flags = os.environ.get("XLA_FLAGS", "")
     value = None
-    for tok in flags.split():
+    toks = flags.split()
+    for i, tok in enumerate(toks):
         if tok.startswith(_ISA_FLAG + "="):
             value = tok.split("=", 1)[1]
+        elif tok == _ISA_FLAG and i + 1 < len(toks) and not toks[i + 1].startswith("-"):
+            value = toks[i + 1]
     return value or None
 
 
@@ -174,21 +202,78 @@ def _validator_script() -> str:
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), "cache_validate.py")
 
 
-def _validate_shared_tier(tier: str, timeout: float = 900.0) -> bool:
+#: Per-ENTRY hang budget for the sacrificial validator. The clock resets
+#: every time the child's progress file advances, so a large warm tier can
+#: take arbitrarily long overall — only an entry showing no progress for
+#: this whole budget is treated as hung (and evicted). Generous because the
+#: first entry's "progress" includes the child's jax import + backend init
+#: on a possibly 1-vCPU host. Override: RSTNET_CACHE_VALIDATE_ENTRY_TIMEOUT.
+_PER_ENTRY_TIMEOUT = 180.0
+
+
+def _run_validator(cmd: list, env: dict, progress: str,
+                   per_entry_timeout: float) -> int:
+    """Run the sacrificial validator subprocess, watching its progress file.
+
+    Returns the child's exit code, or -1 when it was killed for hanging.
+    Hang detection is per-entry, not per-run (ADVICE r3 medium: one fixed
+    whole-run timeout evicted a healthy entry per attempt on hosts slow
+    enough that honest deserialization of a big tier exceeded it): the
+    deadline resets whenever the progress file's contents change, so the
+    child is only killed after a full per-entry budget with NO advancement.
+    """
+    proc = subprocess.Popen(
+        cmd, env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+    )
+    last = None
+    deadline = time.time() + per_entry_timeout
+    try:
+        while True:
+            try:
+                return proc.wait(timeout=0.25)
+            except subprocess.TimeoutExpired:
+                pass
+            try:
+                with open(progress) as f:
+                    cur = f.read()
+            except OSError:
+                cur = None
+            if cur != last:
+                last = cur
+                deadline = time.time() + per_entry_timeout
+            if time.time() > deadline:
+                proc.kill()
+                proc.wait()
+                return -1
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+def _validate_shared_tier(tier: str, timeout: float | None = None) -> bool:
     """Prove this host can deserialize every entry in a shared tier.
 
     Entries newer than this host's validation marker are deserialized in a
-    sacrificial subprocess. A crash (SIGSEGV in XLA's AOT loader) evicts the
-    in-progress entry and validation resumes after it; entries that fail
-    with clean exceptions are evicted by the subprocess itself. The marker
+    sacrificial subprocess. A crash (SIGSEGV in XLA's AOT loader) or a
+    per-entry hang (see :func:`_run_validator`) evicts the in-progress
+    entry and validation resumes after it; entries that fail with clean
+    exceptions are evicted by the subprocess itself. The marker
     (``.validated/<fingerprint>-<jaxlib>``) is touched on success, so a
     fully validated tier costs one listdir per process.
+
+    ``timeout`` is the per-entry no-progress budget (seconds), defaulting
+    to ``_PER_ENTRY_TIMEOUT`` / ``$RSTNET_CACHE_VALIDATE_ENTRY_TIMEOUT``.
 
     Returns False when validation could not run at all (the sacrificial
     subprocess fails before touching any entry — import error, bad env):
     the tier is left untouched and unmarked, and the caller must not mount
     it — an unvalidatable tier is indistinguishable from a poisoned one.
     """
+    if timeout is None:
+        timeout = float(os.environ.get(
+            "RSTNET_CACHE_VALIDATE_ENTRY_TIMEOUT", _PER_ENTRY_TIMEOUT
+        ))
     marker_dir = os.path.join(tier, ".validated")
     os.makedirs(marker_dir, exist_ok=True)
     marker = os.path.join(marker_dir, f"{_host_fingerprint()}-{_jaxlib_tag()}")
@@ -252,21 +337,17 @@ def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> bool
                 os.unlink(progress)
             except OSError:
                 pass
-            try:
-                proc = subprocess.run(
-                    [sys.executable, _validator_script(), tier, listfile,
-                     progress, str(start)],
-                    env=env, timeout=timeout,
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                )
-                rc = proc.returncode
-            except subprocess.TimeoutExpired:
-                rc = -1
+            rc = _run_validator(
+                [sys.executable, _validator_script(), tier, listfile,
+                 progress, str(start)],
+                env, progress, timeout,
+            )
             if rc == 0:
                 break
-            # Crashed or hung: the progress file names the entry it was
-            # working on — evict it and resume after. No progress file (or
-            # one from before `start`) means the child died before touching
+            # Crashed, or hung on one entry for the full per-entry budget:
+            # the progress file names the entry it was working on — evict it
+            # and resume after. No progress file (or one from before
+            # `start`) means the child died before touching
             # any entry: an environment failure, not a poisoned entry.
             # Evicting would destroy healthy entries one by one, so leave
             # the tier untouched and unmarked and tell the caller.

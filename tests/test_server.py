@@ -117,6 +117,53 @@ def test_websocket_roundtrip():
     assert got_text  # text tokens streamed as strings without a tokenizer
 
 
+def test_stats_endpoint_reports_session_tail():
+    """/api/stats exposes the per-session frame-latency tail (VERDICT r3
+    item 5: serving needs a tail-latency story): after a chat session it
+    must report the frames handled with p50/p99 percentiles."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    state = _tiny_state()
+    state.warmup(2)
+    app = build_app(state)
+
+    async def run():
+        async with TestClient(TestServer(app)) as client:
+            before = await (await client.get("/api/stats")).json()
+            ws = await client.ws_connect("/api/chat")
+            for i in range(3):
+                pcm = np.random.default_rng(i).normal(0, 0.1, 24).astype(np.float32)
+                await ws.send_bytes(TAG_AUDIO + float_to_pcm16(pcm))
+            got = 0
+            while got < 3:
+                msg = await asyncio.wait_for(ws.receive(), timeout=30)
+                if msg.type.name != "BINARY":
+                    break
+                if bytes(msg.data)[:1] == TAG_AUDIO:
+                    got += 1
+            await ws.close()
+            after = await (await client.get("/api/stats")).json()
+            return before, after
+
+    before, after = (
+        asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+    )
+    assert before == {"n_frames": 0}
+    assert after["n_frames"] >= 3
+    assert after["p50_ms"] > 0 and after["p99_ms"] >= after["p50_ms"]
+    assert "p99_steady_ms" in after
+
+
+def test_handle_frames_array_warmup_gate_raises():
+    """ADVICE r3: the scan path's warmup precondition must be a real error,
+    not an -O-strippable assert (warmup frames would decode UNGENERATED
+    tokens as audio)."""
+    state = _tiny_state()
+    state.scan_frames = 2
+    with pytest.raises(RuntimeError, match="warmup"):
+        state.handle_frames_array(np.zeros(2 * 24, np.float32))
+
+
 def test_batched_server_two_concurrent_sessions():
     """Two websocket clients share one batched frame step; both receive
     audio frames in real time and slots are isolated."""
