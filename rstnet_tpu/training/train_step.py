@@ -256,6 +256,108 @@ def make_grad_accum_steps(
     )
 
 
+def partition_params(params: Params, trainable_mask: Params) -> tuple[Params, Params]:
+    """Split ``params`` into (trainable, frozen) trees along a bool mask.
+
+    Both trees keep the full structure with ``None`` at the other side's
+    leaf positions (``None`` is an empty pytree node, so JAX transforms and
+    optax simply skip those slots). This is the memory-honest PEFT split:
+    unlike ``trainable_mask`` on :func:`make_train_step` — which still
+    *computes* every frozen gradient and relies on XLA dead-code
+    elimination — a partitioned step never differentiates the frozen tree
+    at all, so (a) no frozen-gradient buffers exist even transiently, and
+    (b) the frozen side may hold non-differentiable dtypes (the int8
+    serving quantization of ``models/backbone.py::quantize_backbone_int8``),
+    which is what makes an 8B LoRA fine-tune fit one 16 GB chip
+    (reference recipe: ``MLLM_v2/egs/pretraining/run.sh:141`` trains an 8B
+    backbone with LoRA).
+    """
+    trainable = jax.tree.map(lambda p, m: p if m else None, params, trainable_mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, trainable_mask)
+    return trainable, frozen
+
+
+def combine_params(trainable: Params, frozen: Params) -> Params:
+    """Inverse of :func:`partition_params` (pure; works under jit)."""
+    return jax.tree.map(
+        lambda t, f: f if t is None else t,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def make_peft_train_step(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    grad_accum: int = 1,
+    donate: bool = True,
+    dropout_seed: Optional[int] = None,
+):
+    """Train step over a partitioned (trainable, frozen) param split.
+
+    ``step_fn(state, frozen, batch) -> (state, metrics)`` where ``state``
+    holds only the trainable tree + its optimizer state (donated); the
+    frozen tree is a separate non-donated argument so one device copy is
+    reused every step (passing it as an argument — not a closure capture —
+    keeps multi-GB frozen weights out of the compiled executable's
+    constants). Gradients exist only for the trainable tree. Semantics
+    otherwise match :func:`make_train_step` (same loss, same grad-accum
+    scan, same dropout threading).
+    """
+
+    def compute_grads(trainable, frozen, batch, rng=None):
+        def peft_loss(t):
+            if rng is None:
+                return loss_fn(combine_params(t, frozen), batch)
+            return loss_fn(combine_params(t, frozen), batch, rng)
+
+        (_, metrics), grads = jax.value_and_grad(peft_loss, has_aux=True)(trainable)
+        return grads, metrics
+
+    def step_fn(state: dict, frozen: Params, batch: dict) -> tuple[dict, dict]:
+        trainable = state["params"]
+        base_rng = None
+        if dropout_seed is not None:
+            base_rng = jax.random.fold_in(
+                jax.random.PRNGKey(dropout_seed), state["step"]
+            )
+        if grad_accum > 1:
+            def scan_body(acc, inp):
+                micro, idx = inp
+                rng = None if base_rng is None else jax.random.fold_in(base_rng, idx)
+                grads, metrics = compute_grads(trainable, frozen, micro, rng)
+                acc_g, acc_m = acc
+                return (
+                    jax.tree.map(jnp.add, acc_g, grads),
+                    jax.tree.map(jnp.add, acc_m, metrics),
+                ), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, trainable)
+            first = jax.tree.map(lambda x: x[0], batch)
+            m_shape = jax.eval_shape(
+                lambda t, f, b: compute_grads(t, f, b)[1], trainable, frozen, first
+            )
+            zero_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_shape)
+            (grads, msum), _ = jax.lax.scan(
+                scan_body, (zero_g, zero_m),
+                (batch, jnp.arange(grad_accum, dtype=jnp.int32)),
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            metrics = jax.tree.map(lambda m: m / grad_accum, msum)
+        else:
+            grads, metrics = compute_grads(trainable, frozen, batch, base_rng)
+        updates, opt_state = tx.update(grads, state["opt_state"], trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return {
+            "params": trainable,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(loss_fn: Callable):
     def eval_fn(params: Params, batch: dict) -> dict:
         _, metrics = loss_fn(params, batch)

@@ -187,12 +187,28 @@ def main(argv=None) -> None:
         # top level) — attach it under the LM's "backbone" subtree, where the
         # forward actually reads the factors
         params["backbone"] = attach_lora(params["backbone"], overlay)
+        if args.base_int8:
+            # frozen-base int8: halve the backbone's HBM footprint so an 8B
+            # LoRA fine-tune fits one 16 GB chip (reference 8B LoRA recipe:
+            # egs/pretraining/run.sh:141). The LoRA factors survive the
+            # quantization walk (it only swaps each linear's "weight").
+            from rstnet_tpu.models.backbone import quantize_backbone_int8
+
+            params["backbone"] = quantize_backbone_int8(params["backbone"])
         trainable_mask = lora_trainable_mask(params)
         # codecformer & embeddings always train in LoRA mode (the reference
         # marks only the backbone lora + keeps local transformer trainable)
         for k in ("codecformer", "input_emb", "codecformer_text_emb",
                   "codecformer_emb", "codecformer_in", "audio_linears"):
             trainable_mask[k] = jax.tree.map(lambda _: True, params[k])
+    if args.base_int8 and args.lora_r <= 0:
+        raise SystemExit("--base_int8 requires --lora_r > 0 (it freezes the "
+                         "backbone; something must remain trainable)")
+    if args.base_int8 and args.model_family == "moshi":
+        raise SystemExit("--base_int8 is wired for the backbone model family")
+    if args.base_int8 and args.grad_accum > 1:
+        raise SystemExit("--base_int8 does not support --grad_accum yet "
+                         "(the cross-batch accumulator is unpartitioned)")
 
     # mesh + sharding
     n_dev = len(jax.devices())
@@ -261,7 +277,8 @@ def main(argv=None) -> None:
     tx = make_optimizer(
         schedule, weight_decay=args.weight_decay,
         grad_clip=args.grad_clip if args.grad_clip > 0 else None,
-        trainable_mask=trainable_mask,
+        # the partitioned PEFT step masks by tree structure, not by optax
+        trainable_mask=None if args.base_int8 else trainable_mask,
         skip_nonfinite=args.skip_nan_updates,
     )
     loss_fn = make_loss_fn(model, audio_ignore_id=args.acoustic_pad_token, text_ignore_id=args.text_pad_token)
@@ -269,6 +286,16 @@ def main(argv=None) -> None:
 
     with jax.set_mesh(mesh):
         params = jax.device_put(params, infer_param_shardings(mesh, params))
+        frozen = None
+        if args.base_int8:
+            from rstnet_tpu.training.train_step import (
+                combine_params,
+                partition_params,
+            )
+
+            trainable, frozen = partition_params(params, trainable_mask)
+            params = trainable  # state (and checkpoints) hold ONLY the
+            # trainable tree — the reference's lora_filter checkpoint shape
         state = init_train_state(params, tx)
         state, extras, resumed = maybe_resume(args.exp_dir, state)
         if resumed is not None and "reporter" in extras:
@@ -288,10 +315,22 @@ def main(argv=None) -> None:
             )
             state["acc_grads"] = jax.tree.map(jnp.zeros_like, state["params"])
             state["micro"] = jnp.zeros((), jnp.int32)
-        train_step = make_train_step(
-            loss_fn, tx, trainable_mask=trainable_mask, dropout_seed=dropout_seed,
-        )
-        eval_step = make_eval_step(loss_fn)
+        if args.base_int8:
+            from rstnet_tpu.training.train_step import make_peft_train_step
+
+            peft_step = make_peft_train_step(loss_fn, tx, dropout_seed=dropout_seed)
+            _eval = make_eval_step(loss_fn)
+
+            def train_step(s, b):
+                return peft_step(s, frozen, b)
+
+            def eval_step(p, b):
+                return _eval(combine_params(p, frozen), b)
+        else:
+            train_step = make_train_step(
+                loss_fn, tx, trainable_mask=trainable_mask, dropout_seed=dropout_seed,
+            )
+            eval_step = make_eval_step(loss_fn)
         b_shard = batch_sharding(mesh, 3)
         dp_total = mesh.shape["data"] * mesh.shape["fsdp"]
 

@@ -76,6 +76,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora_projection", type=str2bool, default=False)
     p.add_argument("--lora_mlp", type=str2bool, default=False)
     p.add_argument("--lora_head", type=str2bool, default=False)
+    p.add_argument("--base_int8", type=str2bool, default=False,
+                   help="LoRA mode only: store the frozen backbone weights "
+                        "as int8 (halves their HBM footprint; the fit-8B-"
+                        "LoRA-on-one-16GB-chip switch). Uses the partitioned "
+                        "PEFT train step, so checkpoints hold only the "
+                        "trainable tree (the reference's lora_filter)")
     p.add_argument("--flash_attention", type=str2bool, default=True,
                    help="splash-attention training forwards on TPU")
     p.add_argument("--remat", type=str2bool, default=True,
