@@ -481,7 +481,7 @@ class GLM4VAudioDecoder:
             block_size = cfg.encoder.block_size
         key = key if key is not None else jax.random.PRNGKey(42)
         T = token.shape[1]
-        window = np.hamming(2 * self.mel_overlap_len)
+        windows: dict = {}  # crossfade windows keyed by overlap length
         mel_overlap = None
         hift_mel_cache = None
         hift_source_cache = None
@@ -496,8 +496,16 @@ class GLM4VAudioDecoder:
             else:
                 prompt_feat = prompt_token = None
             mel = self._mel(block, kz, prompt_token, prompt_feat)
-            if mel_overlap is not None:
-                n = self.mel_overlap_len
+            if mel_overlap is not None and mel_overlap.shape[1] > 0:
+                # the regenerated region at the head of `mel` is exactly as
+                # long as what was trimmed from the previous block (the flow
+                # prompt excluded those frames), so the seam length is the
+                # carried overlap's own length — which may be shorter than
+                # mel_overlap_len when a tiny block under-filled it
+                n = mel_overlap.shape[1]
+                if n not in windows:
+                    windows[n] = np.hamming(2 * n)
+                window = windows[n]
                 head = mel[:, :n] * jnp.asarray(window[:n, None], jnp.float32) \
                     + mel_overlap * jnp.asarray(window[n:, None], jnp.float32)
                 mel = jnp.concatenate([head, mel[:, n:]], axis=1)
@@ -508,8 +516,12 @@ class GLM4VAudioDecoder:
                 full_mel = mel
                 cache_source = None
             if not finalize:
-                mel_overlap = full_mel[:, -self.mel_overlap_len:]
-                full_mel = full_mel[:, : full_mel.shape[1] - self.mel_overlap_len]
+                # trim at most full_mel-1 frames so every block emits audio
+                # and the HiFT mel cache stays non-empty even for blocks
+                # shorter than the nominal overlap
+                trim = min(self.mel_overlap_len, max(full_mel.shape[1] - 1, 0))
+                mel_overlap = full_mel[:, full_mel.shape[1] - trim:]
+                full_mel = full_mel[:, : full_mel.shape[1] - trim]
                 wav, src = self._hift_infer(
                     self.hift_params, full_mel, key=kh, cache_source=cache_source
                 )

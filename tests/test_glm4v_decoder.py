@@ -675,3 +675,46 @@ hift: !new:cosyvoice.hifigan.generator.HiFTGenerator
     assert flow_cfg.unet.channels == (256, 256)
     assert flow_cfg.unet.num_mid_blocks == 12
     assert hift_cfg.total_upsample == 256
+
+
+def test_stream_inference_sweep():
+    """Streaming synthesis across block sizes and token lengths (VERDICT r3
+    item 8): grid-aligned default, misaligned blocks, a token run shorter
+    than one block, a non-multiple length, and a long-history probe whose
+    flow prompt grows across many blocks. Every case must produce finite,
+    non-silent audio of the expected length (to the per-seam source-cache
+    trim), and the synthesis must be key-deterministic."""
+    dec = _tiny_decoder()
+    cfg = dec.flow.config
+    up = dec.hift.config.total_upsample
+    grid = cfg.encoder.block_size  # 3 in the tiny config
+    cases = [
+        (None, 7),      # default block = conformer grid width, non-multiple T
+        (2, 7),         # misaligned block (smaller than the grid)
+        (5, 12),        # misaligned block (larger than the grid)
+        (grid, 2),      # whole run shorter than one block
+        (grid, 15),     # long-history probe: 5 blocks, prompt grows to 12
+    ]
+    for block, T in cases:
+        token = jax.random.randint(
+            jax.random.PRNGKey(100 * T + (block or 0)), (1, T), 0, 40
+        )
+        wav = dec.stream_inference(token, block_size=block,
+                                   key=jax.random.PRNGKey(9))
+        expect = cfg.mel_len(T) * up
+        eff_block = block or grid
+        n_blocks = -(-T // eff_block)
+        w = np.asarray(wav)
+        assert np.isfinite(w).all(), (block, T)
+        assert abs(w.shape[1] - expect) <= dec.source_cache_len * max(1, n_blocks), (
+            block, T, w.shape, expect)
+        assert float(np.abs(w).max()) > 0, (block, T)
+
+    # key-determinism: the streaming path threads one PRNG key through all
+    # per-block noise draws
+    token = jax.random.randint(jax.random.PRNGKey(0), (1, 9), 0, 40)
+    w1 = dec.stream_inference(token, key=jax.random.PRNGKey(5))
+    w2 = dec.stream_inference(token, key=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    w3 = dec.stream_inference(token, key=jax.random.PRNGKey(6))
+    assert not np.array_equal(np.asarray(w1), np.asarray(w3))
