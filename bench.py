@@ -206,6 +206,217 @@ def bench_train(n_steps: int = 10) -> dict:
     return out
 
 
+def bench_train_8b(n_steps: int = 5) -> dict:
+    """Training at the reference's actual flagship scale — a Llama-3.1-8B
+    backbone LoRA fine-tune on ONE 16 GB chip (reference recipe:
+    ``MLLM_v2/egs/pretraining/run.sh:141`` + ``pre_training_lora.py``;
+    batch_scale 2500 tokens/GPU, ``utils/dataloader.py:173``).
+
+    Fits by construction: int8 frozen base (8.0 GB) + bf16 trainable tree
+    (LoRA + codecformer + audio embeddings, ~1.05 GB) + its Adam moments
+    (~2.1 GB), with the partitioned PEFT step never materializing frozen
+    gradients and remat bounding activations. Values are random (built from
+    eval_shape); throughput and memory depend only on shapes/dtypes.
+    Sweeps batch geometry from the reference's 2560-token ballpark down;
+    the largest fit is the headline.
+
+    Memory discipline between attempts (the 16 GB budget is tight): the
+    trainable template lives on HOST (numpy) and is device_put per attempt,
+    and a failed attempt's partial state is explicitly dropped + gc'd before
+    the next geometry — without this, a leaked 3.15 GB state from an OOM'd
+    attempt cascades every later geometry into OOM too (observed r4)."""
+    import gc
+
+    import numpy as np
+
+    from rstnet_tpu.training.flagship8b import build_peft_8b, bytes_table
+    from rstnet_tpu.training.schedulers import warmup_lr
+    from rstnet_tpu.training.train_step import (
+        init_train_state,
+        make_loss_fn,
+        make_optimizer,
+        make_peft_train_step,
+    )
+
+    model, trainable, frozen, _ = build_peft_8b(jax.random.PRNGKey(0))
+    cfg = model.config
+    tx = make_optimizer(warmup_lr(1e-4, 100))
+    step = make_peft_train_step(make_loss_fn(model), tx)
+    from rstnet_tpu.core import param_count
+
+    out = {
+        "train8b_params_b": round(
+            (param_count(trainable) + param_count(frozen)) / 1e9, 2
+        ),
+        "train8b_trainable_m": round(param_count(trainable) / 1e6, 1),
+        "train8b_frozen_gb": bytes_table(frozen)["total_gb"],
+        "train8b_trainable_gb": bytes_table(trainable)["total_gb"],
+    }
+    # move the trainable template to host: it is only a source for per-
+    # attempt copies, and 1.05 GB of device HBM matters here
+    host_template = jax.tree.map(lambda x: np.asarray(x), trainable)
+    del trainable
+    gc.collect()
+    state = batch = metrics = None
+    for B, S in ((4, 512), (2, 512), (1, 512), (1, 256)):
+        try:
+            # fresh trainable copy per attempt: the step donates its state,
+            # so a successful timing run consumes the buffers it was given
+            t = jax.tree.map(jnp.asarray, host_template)
+            state = init_train_state(t, tx)
+            del t
+            key = jax.random.PRNGKey(1)
+            batch = {
+                "tokens": jnp.concatenate(
+                    [
+                        jax.random.randint(key, (B, 1, S), 0, cfg.padded_vocab_size),
+                        jax.random.randint(key, (B, cfg.n_q, S), 0, cfg.audio_card),
+                    ],
+                    axis=1,
+                ),
+                "masks": jnp.ones((B, 1 + cfg.n_q, S), jnp.float32),
+            }
+            state, metrics = step(state, frozen, batch)  # compile
+            loss0 = float(np.asarray(metrics["loss"]))
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                state, metrics = step(state, frozen, batch)
+            loss = float(np.asarray(metrics["loss"]))
+            dt = (time.perf_counter() - t0) / n_steps
+            del state, metrics
+            assert np.isfinite(loss), loss
+            out.update(
+                {
+                    "train8b_batch": [B, S],
+                    "train8b_frames_per_step": B * S,
+                    "train8b_step_ms": round(dt * 1000, 1),
+                    "train8b_frames_per_sec": round(B * S / dt, 1),
+                    "train8b_loss0": round(loss0, 3),
+                    "train8b_loss_end": round(loss, 3),
+                }
+            )
+            stats = jax.local_devices()[0].memory_stats() or {}
+            if "peak_bytes_in_use" in stats:
+                out["train8b_peak_hbm_gb"] = round(
+                    stats["peak_bytes_in_use"] / 2**30, 2
+                )
+            break
+        except Exception as e:  # noqa: BLE001 - try the next geometry down
+            out["train8b_oom_at"] = f"B={B},S={S}: " + str(e)[:100]
+            # drop the failed attempt's device buffers BEFORE the next
+            # geometry allocates, or the leak cascades every size into OOM
+            state = batch = metrics = None
+            gc.collect()
+    return out
+
+
+def bench_int8_quality(B: int = 8, T: int = 128, tiny: bool = False) -> dict:
+    """Quality bound for every int8 serving mode vs bf16, at the 2B
+    flagship, on the streaming decode path itself (VERDICT r3 item 2).
+
+    Per variant: streaming teacher-forced CE/PPL over a fixed B*T >= 1k
+    frame grid, per-step sampled-token agreement at serving temperatures
+    under identical forced history + PRNG, greedy agreement, and decoded-
+    audio SI-SNR of the variant's sampled stream vs the bf16 stream through
+    the same Mimi decoder (the full int8 pipe). Weights are random-init
+    (no trained checkpoints exist in this environment — BASELINE.md gap #1),
+    which is the CONSERVATIVE case for agreement: random logit landscapes
+    are flatter than trained ones, so quantization flips sampled tokens at
+    least as often as it would on a trained model. Variants are built and
+    released one at a time so 2B-scale trees never coexist."""
+    import gc
+
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from rstnet_tpu.evalsuite.metrics import si_snr
+    from rstnet_tpu.evalsuite.quant_quality import agreement, teacher_forced_stream
+    from rstnet_tpu.models.lm import (
+        quantize_dep_for_serving,
+        quantize_for_serving,
+        quantize_head_for_serving,
+    )
+    from rstnet_tpu.models.mimi import mimi_24k
+
+    model = _flagship(tiny=tiny)
+    cfg = model.config
+    params = jax.block_until_ready(model.init(jax.random.PRNGKey(0), jnp.bfloat16))
+    gk = jax.random.PRNGKey(7)
+    grid = np.concatenate(
+        [
+            np.asarray(jax.random.randint(gk, (B, 1, T), 0, cfg.padded_vocab_size)),
+            np.asarray(
+                jax.random.randint(gk, (B, cfg.n_q, T), 0, cfg.audio_card)
+            ),
+        ],
+        axis=1,
+    )
+    key = jax.random.PRNGKey(11)
+
+    if tiny:  # keep the glue test cheap; quality runs use the full decoder
+        mimi = mimi_24k(dimension=32, n_filters=4, num_layers=1, quantizer_dim=16)
+    else:
+        mimi = mimi_24k()
+    mimi_params = jax.block_until_ready(mimi.init(jax.random.PRNGKey(3)))
+    dec = jax.jit(mimi.decode)
+
+    def decode_audio(tokens: np.ndarray) -> np.ndarray:
+        # rows 1..dep_q of the sampled stream are the audio codebooks
+        codes = jnp.asarray(tokens[:, 1 : cfg.dep_q + 1, :], jnp.int32)
+        codes = jnp.clip(codes, 0, 2047)  # sampling already clamps; belt
+        return np.asarray(dec(mimi_params, codes))
+
+    variants = [
+        ("bf16", lambda p: p, False),
+        ("head_int8", quantize_head_for_serving, False),
+        (
+            "mixed_int8",
+            lambda p: quantize_dep_for_serving(quantize_head_for_serving(p)),
+            False,
+        ),
+        ("int8", lambda p: quantize_for_serving(model, p), False),
+        ("int8_kv_int8", lambda p: quantize_for_serving(model, p), True),
+    ]
+    rows = {}
+    ref = None
+    ref_audio = None
+    for name, build, kv8 in variants:
+        qp = jax.block_until_ready(build(params))
+        r = teacher_forced_stream(model, qp, grid, key, kv_int8=kv8)
+        if name != "bf16":
+            del qp
+        gc.collect()
+        audio = decode_audio(r.sampled)
+        if ref is None:
+            ref, ref_audio = r, audio
+            rows[name] = {
+                "ppl_text": round(r.ppl_text, 3),
+                "ppl_audio": round(r.ppl_audio, 3),
+            }
+            continue
+        snr = float(
+            np.mean([si_snr(ref_audio[b, 0], audio[b, 0]) for b in range(B)])
+        )
+        rows[name] = {
+            "ppl_text": round(r.ppl_text, 3),
+            "ppl_audio": round(r.ppl_audio, 3),
+            "d_ce_text": round(r.ce_text - ref.ce_text, 5),
+            "d_ce_audio": round(r.ce_audio - ref.ce_audio, 5),
+            "agree_sampled": round(agreement(r.sampled, ref.sampled), 4),
+            "agree_greedy": round(agreement(r.greedy, ref.greedy), 4),
+            "decoded_sisnr_db": round(snr, 2),
+        }
+    full = rows.get("int8_kv_int8", {})
+    return {
+        "int8_quality_frames": B * T,
+        "int8_quality": rows,
+        # headline key (VERDICT r3 item 2): the FULL int8 pipe (weights +
+        # KV rings) audio-PPL delta vs bf16, in nats/token
+        "int8_ppl_delta": full.get("d_ce_audio"),
+        "int8_agree_sampled": full.get("agree_sampled"),
+    }
+
+
 def bench_e2e(n_frames: int = 30) -> dict:
     """Full duplex serving pipeline per 80 ms frame: full-size Mimi encode
     step + 2B LM frame step + Mimi decode step (the BASELINE.json north
@@ -888,6 +1099,16 @@ def main():
             codec_detail.update(bench_train())
         except Exception as e:  # noqa: BLE001
             codec_detail["train_bench_error"] = str(e)[:120]
+    if os.environ.get("BENCH_TRAIN_8B", "0") == "1":
+        try:
+            codec_detail.update(bench_train_8b())
+        except Exception as e:  # noqa: BLE001
+            codec_detail["train8b_bench_error"] = str(e)[:120]
+    if os.environ.get("BENCH_INT8_QUALITY", "0") == "1":
+        try:
+            codec_detail.update(bench_int8_quality())
+        except Exception as e:  # noqa: BLE001
+            codec_detail["int8_quality_error"] = str(e)[:120]
     # sessions/chip: on TPU by default — B=8/32/64 points with int8 ring-KV
     # and a per-session sync tail each (VERDICT r3 item 5); "sweep" adds 16;
     # "0" disables

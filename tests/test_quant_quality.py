@@ -104,3 +104,26 @@ def test_compare_quant_variants():
     # shapes: [B, 1+dep_q, T]
     ref = out["results"]["bf16"]
     assert ref.sampled.shape == (grid.shape[0], cfg.dep_q + 1, grid.shape[2])
+
+
+def test_bench_int8_quality_glue_tiny():
+    """The bench's full int8-quality pipeline (variant loop, one-at-a-time
+    builds, Mimi decode + SI-SNR) at tiny scale: every row present and
+    finite, headline keys wired."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import bench_int8_quality
+
+    out = bench_int8_quality(B=2, T=8, tiny=True)
+    assert out["int8_quality_frames"] == 16
+    rows = out["int8_quality"]
+    assert set(rows) == {"bf16", "head_int8", "mixed_int8", "int8", "int8_kv_int8"}
+    for name, row in rows.items():
+        assert np.isfinite(row["ppl_audio"]), (name, row)
+        if name != "bf16":
+            assert 0.0 < row["agree_sampled"] <= 1.0
+            assert np.isfinite(row["decoded_sisnr_db"])
+    assert out["int8_ppl_delta"] == rows["int8_kv_int8"]["d_ce_audio"]
+    assert out["int8_agree_sampled"] == rows["int8_kv_int8"]["agree_sampled"]
