@@ -89,7 +89,7 @@ def teacher_forced_stream(
     frames = jnp.moveaxis(inputs, 2, 0)               # [T, B, K]
     targets = jnp.moveaxis(grid[:, :n_gen, :], 2, 0)  # [T, B, n_gen]
 
-    def step(lm_state, xs):
+    def step(params, lm_state, xs):
         frame, target, t = xs
         k_step = jax.random.fold_in(key, t)
         hidden, text_logits, lm_state = model.step_global(
@@ -129,15 +129,20 @@ def teacher_forced_stream(
             jnp.stack(greedy, axis=1),
         )
 
-    def run(lm_state):
+    # params/frames/targets MUST be jit arguments, not captured constants:
+    # a closed-over 2B-param tree is serialized into the HLO itself (~4 GB
+    # of literals) and shipped to the (remote) compiler per variant
+    def run(params, lm_state, frames, targets):
         return jax.lax.scan(
-            step, lm_state, (frames, targets, jnp.arange(T, dtype=jnp.int32))
+            lambda c, xs: step(params, c, xs),
+            lm_state,
+            (frames, targets, jnp.arange(T, dtype=jnp.int32)),
         )
 
     lm_state = model.init_state(
         B, state_dtype, kv_int8=kv_int8, kv_unstacked=kv_unstacked
     )
-    _, (lps, sampled, greedy) = jax.jit(run)(lm_state)
+    _, (lps, sampled, greedy) = jax.jit(run)(params, lm_state, frames, targets)
     lps = np.asarray(lps, np.float64)                  # [T, B, n_gen]
     ce_text = float(-lps[:, :, 0].mean())
     ce_audio = float(-lps[:, :, 1:].mean())
