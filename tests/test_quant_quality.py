@@ -127,3 +127,31 @@ def test_bench_int8_quality_glue_tiny():
             assert np.isfinite(row["decoded_sisnr_db"])
     assert out["int8_ppl_delta"] == rows["int8_kv_int8"]["d_ce_audio"]
     assert out["int8_agree_sampled"] == rows["int8_kv_int8"]["agree_sampled"]
+
+
+def test_decode_leg_is_code_sensitive():
+    """Regression for a vacuous-measure bug: RVQ codebooks init to zero
+    (kmeans-on-first-batch), so random-init Mimi decode ignored the codes
+    and every variant scored an identical ~94 dB SI-SNR. The bench's
+    codebook randomization must make decode depend on the codes."""
+    import sys
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import _randomize_codebooks
+    from rstnet_tpu.models.mimi import mimi_24k
+
+    mimi = mimi_24k(dimension=32, n_filters=4, num_layers=1, quantizer_dim=16)
+    params = mimi.init(jax.random.PRNGKey(3))
+    c1 = jax.random.randint(jax.random.PRNGKey(0), (1, 8, 4), 0, 2048)
+    c2 = jax.random.randint(jax.random.PRNGKey(1), (1, 8, 4), 0, 2048)
+    # zero-init: decode is code-blind (the bug this guards against)
+    a1, a2 = mimi.decode(params, c1), mimi.decode(params, c2)
+    assert jnp.allclose(a1, a2)
+    # randomized codebooks: decode must distinguish the two streams
+    rp = _randomize_codebooks(params, jax.random.PRNGKey(5))
+    b1, b2 = mimi.decode(rp, c1), mimi.decode(rp, c2)
+    assert not jnp.allclose(b1, b2)
