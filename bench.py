@@ -444,6 +444,142 @@ def bench_int8_quality(B: int = 8, T: int = 128, tiny: bool = False) -> dict:
     }
 
 
+def bench_int8_quality_trained(tiny: bool = False) -> dict:
+    """Does training raise int8 token agreement? Empirical check of the
+    r4 quality table's central argument (``BENCH_INT8_QUALITY_TRAINED=1``).
+
+    The int8 quality table (:func:`bench_int8_quality`) is measured at
+    random init and ARGUES that this is the conservative case for sampled
+    agreement: a random logit landscape is maximally flat, so near-ties are
+    everywhere and ~1e-3-nat quantization perturbations flip sampled tokens
+    constantly; on a trained model, where logit gaps are large, agreement
+    can only rise. This bench tests that argument instead of asserting it,
+    at a ~0.6B flagship that fits full-param training on one chip:
+
+    1. measure bf16-vs-int8 sampled/greedy agreement at random init;
+    2. memorize a fixed batch for a few hundred steps (the logit landscape
+       sharpens exactly where the teacher-forced grid lives);
+    3. re-measure on the SAME grid, PRNG keys, and serving temperatures.
+
+    Expected (and what the r4 run showed): sampled agreement rises sharply
+    with training while the CE delta stays ~0 — the random-init numbers
+    are a floor, not a property of int8 serving.
+    """
+    import dataclasses
+    import gc
+
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from rstnet_tpu.evalsuite.quant_quality import agreement, teacher_forced_stream
+    from rstnet_tpu.models.lm import (
+        SpeechTextLM,
+        quantize_dep_for_serving,
+        quantize_for_serving,
+        quantize_head_for_serving,
+    )
+    from rstnet_tpu.training.schedulers import warmup_lr
+    from rstnet_tpu.training.train_step import (
+        init_train_state,
+        make_loss_fn,
+        make_optimizer,
+        make_train_step,
+    )
+
+    n_train = int(os.environ.get(
+        "BENCH_INT8_TRAINED_STEPS", "8" if tiny else "300"
+    ))
+    B, T = (2, 8) if tiny else (4, 128)
+    S = 16 if tiny else 256
+
+    base = _flagship(tiny=tiny)
+    if tiny:
+        train_cfg = dataclasses.replace(base.config, remat=False)
+    else:
+        # the bench_train ~0.6B geometry: big enough for a real logit
+        # landscape, small enough that full-param Adam fits beside it
+        train_cfg = dataclasses.replace(
+            base.config, n_layer=12, n_embd=1024, n_head=16, n_query_groups=8,
+            intermediate_size=4096, remat=True,
+            vocab_size=32000, padded_vocab_size=32064,
+            use_flash_attention=jax.default_backend() == "tpu",
+        )
+    model = SpeechTextLM(train_cfg)
+    # decode twin: identical params, streaming-decode-friendly flags
+    dec_model = SpeechTextLM(
+        dataclasses.replace(train_cfg, remat=False, use_flash_attention=False)
+    )
+    cfg = train_cfg
+    params = jax.block_until_ready(model.init(jax.random.PRNGKey(0), jnp.bfloat16))
+
+    # ONE fixed batch, memorized: the teacher-forced grid is its prefix, so
+    # training sharpens logits exactly where agreement is measured
+    bkey = jax.random.PRNGKey(1)
+    tokens = jnp.concatenate(
+        [
+            jax.random.randint(bkey, (B, 1, S), 0, cfg.padded_vocab_size),
+            jax.random.randint(bkey, (B, cfg.n_q, S), 0, cfg.audio_card),
+        ],
+        axis=1,
+    )
+    batch = {"tokens": tokens, "masks": jnp.ones(tokens.shape, jnp.float32)}
+    grid = np.asarray(tokens[:, :, :T])
+    skey = jax.random.PRNGKey(11)
+
+    def measure(p) -> dict:
+        """Agreement rows for the two headline variants vs this bf16 tree."""
+        ref = teacher_forced_stream(dec_model, p, grid, skey)
+        rows = {}
+        for name, build, kv8 in (
+            (
+                "mixed_int8",
+                lambda q: quantize_dep_for_serving(quantize_head_for_serving(q)),
+                False,
+            ),
+            ("int8_kv_int8", lambda q: quantize_for_serving(dec_model, q), True),
+        ):
+            qp = jax.block_until_ready(build(p))
+            r = teacher_forced_stream(dec_model, qp, grid, skey, kv_int8=kv8)
+            del qp
+            gc.collect()
+            rows[name] = {
+                "d_ce_audio": round(r.ce_audio - ref.ce_audio, 5),
+                "agree_sampled": round(agreement(r.sampled, ref.sampled), 4),
+                "agree_greedy": round(agreement(r.greedy, ref.greedy), 4),
+            }
+        rows["bf16_ppl_audio"] = round(ref.ppl_audio, 3)
+        return rows
+
+    random_rows = measure(params)
+
+    tx = make_optimizer(warmup_lr(3e-4, 20))
+    step = make_train_step(make_loss_fn(model), tx)
+    state = init_train_state(params, tx)
+    state, metrics = step(state, batch)  # compile
+    loss0 = float(np.asarray(metrics["loss"]))
+    for _ in range(n_train - 1):
+        state, metrics = step(state, batch)
+    loss_end = float(np.asarray(metrics["loss"]))
+    trained = state["params"]
+    del state, metrics, step
+    gc.collect()
+
+    trained_rows = measure(trained)
+    full_r = random_rows.get("int8_kv_int8", {})
+    full_t = trained_rows.get("int8_kv_int8", {})
+    return {
+        "int8_trained_steps": n_train,
+        "int8_trained_loss": [round(loss0, 2), round(loss_end, 2)],
+        "int8_quality_random_init": random_rows,
+        "int8_quality_trained": trained_rows,
+        # the claim under test, as one pair: sampled agreement of the FULL
+        # int8 pipe before vs after training on the same grid/keys/temps
+        "int8_agree_sampled_random_vs_trained": [
+            full_r.get("agree_sampled"), full_t.get("agree_sampled")
+        ],
+    }
+
+
 def bench_e2e(n_frames: int = 30) -> dict:
     """Full duplex serving pipeline per 80 ms frame: full-size Mimi encode
     step + 2B LM frame step + Mimi decode step (the BASELINE.json north
@@ -1136,6 +1272,11 @@ def main():
             codec_detail.update(bench_int8_quality())
         except Exception as e:  # noqa: BLE001
             codec_detail["int8_quality_error"] = str(e)[:120]
+    if os.environ.get("BENCH_INT8_QUALITY_TRAINED", "0") == "1":
+        try:
+            codec_detail.update(bench_int8_quality_trained())
+        except Exception as e:  # noqa: BLE001
+            codec_detail["int8_trained_error"] = str(e)[:120]
     # sessions/chip: on TPU by default — B=8/32/64 points with int8 ring-KV
     # and a per-session sync tail each (VERDICT r3 item 5); "sweep" adds 16;
     # "0" disables

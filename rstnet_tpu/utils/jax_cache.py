@@ -23,12 +23,15 @@ Defense in depth, in order:
    the jaxlib version, so entries written by an older layout (which may mix
    native-ISA executables under the portable label — the exact poisoning
    observed in round 2) or an incompatible serializer are never read.
-4. **Per-host validation of shared tiers** — the first time this host (by
-   CPU-feature fingerprint) opens the shared tier, every entry written since
-   the last validation is deserialized in a *sacrificial subprocess*
+4. **Validation of shared tiers** — every entry written since the tier's
+   last validation is deserialized in a *sacrificial subprocess*
    (``cache_validate.py``); an entry that segfaults the subprocess is
-   evicted and validation resumes after it. Only a tier this host has proven
-   it can deserialize is ever mounted.
+   evicted and validation resumes after it. Only a tier proven
+   deserializable is ever mounted. The validation marker is **cross-host**
+   for pinned, AVX2-capable hosts (the portable invariant makes one pinned
+   host's proof transfer to all — re-proving ~4k warm entries per fresh CI
+   VM costs ~19 min on 1 vCPU, measured r4); unpinned or ISA-lacking hosts
+   keep per-host markers.
 
 TPU entries are host-independent (the executable targets the chip, not the
 host CPU) and stale ones fail with clean exceptions that jax turns into
@@ -147,6 +150,22 @@ def _portable_pin_active() -> bool:
     return pin is not None and pin.upper() == PORTABLE_CPU_ISA
 
 
+def _host_supports_portable_isa() -> bool:
+    """True when this host's CPU can execute ``PORTABLE_CPU_ISA`` code.
+
+    The portable tier's invariant is that every entry was codegen'd at (or
+    below) the AVX2 baseline, so any AVX2-capable host can load any entry —
+    which is what lets one host trust another pinned host's validation
+    marker. A host that cannot even execute AVX2 gets no such guarantee and
+    must validate for itself.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            return PORTABLE_CPU_ISA.lower() in f.read()
+    except OSError:
+        return False
+
+
 def _host_fingerprint() -> str:
     """Stable 12-hex id for this host's CPU feature set."""
     try:
@@ -254,13 +273,22 @@ def _run_validator(cmd: list, env: dict, progress: str,
 def _validate_shared_tier(tier: str, timeout: float | None = None) -> bool:
     """Prove this host can deserialize every entry in a shared tier.
 
-    Entries newer than this host's validation marker are deserialized in a
+    Entries newer than the tier's validation marker are deserialized in a
     sacrificial subprocess. A crash (SIGSEGV in XLA's AOT loader) or a
     per-entry hang (see :func:`_run_validator`) evicts the in-progress
     entry and validation resumes after it; entries that fail with clean
-    exceptions are evicted by the subprocess itself. The marker
-    (``.validated/<fingerprint>-<jaxlib>``) is touched on success, so a
-    fully validated tier costs one listdir per process.
+    exceptions are evicted by the subprocess itself. The marker is touched
+    on success, so a fully validated tier costs one listdir per process.
+
+    **The marker is cross-host** (``.validated/portable-<jaxlib>``) when the
+    portable-ISA pin is active and this host can execute that ISA: the
+    tier's invariant is that every entry targets the AVX2 baseline, so a
+    load that succeeded on one pinned host succeeds on every AVX2-capable
+    host with the same jaxlib — re-validating thousands of warm entries per
+    fresh CI VM (~19 min at ~3.7 entries/s on a 1-vCPU host, measured r4)
+    would buy nothing. Pre-r4 per-host markers (``<fingerprint>-<jaxlib>``)
+    are adopted as the portable marker's initial timestamp, and hosts
+    without the pin (or without the ISA) still validate per-host.
 
     ``timeout`` is the per-entry no-progress budget (seconds), defaulting
     to ``_PER_ENTRY_TIMEOUT`` / ``$RSTNET_CACHE_VALIDATE_ENTRY_TIMEOUT``.
@@ -276,7 +304,7 @@ def _validate_shared_tier(tier: str, timeout: float | None = None) -> bool:
         ))
     marker_dir = os.path.join(tier, ".validated")
     os.makedirs(marker_dir, exist_ok=True)
-    marker = os.path.join(marker_dir, f"{_host_fingerprint()}-{_jaxlib_tag()}")
+    marker, portable = _marker_path(marker_dir)
     # concurrent processes (pytest-xdist workers) dedupe through an
     # exclusive lock: the first validates, the rest then see a fresh marker
     import fcntl
@@ -285,10 +313,55 @@ def _validate_shared_tier(tier: str, timeout: float | None = None) -> bool:
     lock_f = open(lock_path, "w")
     try:
         fcntl.flock(lock_f, fcntl.LOCK_EX)
+        if portable:
+            _adopt_host_markers(marker_dir, marker)
         return _validate_shared_tier_locked(tier, marker, timeout)
     finally:
         fcntl.flock(lock_f, fcntl.LOCK_UN)
         lock_f.close()
+
+
+def _marker_path(marker_dir: str) -> tuple:
+    """(validation marker path, is-cross-host) for the active pin/host.
+
+    Cross-host (``portable-<jaxlib>``) when the portable pin is active AND
+    this host can execute the portable ISA; per-host fingerprint otherwise.
+    """
+    if _portable_pin_active() and _host_supports_portable_isa():
+        return os.path.join(marker_dir, f"portable-{_jaxlib_tag()}"), True
+    return (
+        os.path.join(marker_dir, f"{_host_fingerprint()}-{_jaxlib_tag()}"),
+        False,
+    )
+
+
+def _adopt_host_markers(marker_dir: str, portable_marker: str) -> None:
+    """Seed the cross-host marker from pre-r4 per-host markers.
+
+    Any ``<fingerprint>-<jaxlib>`` marker proves some pinned host validated
+    the tier up to that marker's mtime; under the portable invariant that
+    proof transfers, so the portable marker inherits the NEWEST such mtime
+    (never moving backwards). Must run under the validation lock.
+    """
+    tag = _jaxlib_tag()
+    best = None
+    for name in os.listdir(marker_dir):
+        if not name.endswith(f"-{tag}") or name.startswith("portable-"):
+            continue
+        try:
+            mtime = os.stat(os.path.join(marker_dir, name)).st_mtime
+        except OSError:
+            continue
+        best = mtime if best is None else max(best, mtime)
+    if best is None:
+        return
+    try:
+        current = os.stat(portable_marker).st_mtime
+    except OSError:
+        current = -1.0
+    if best > current:
+        with open(portable_marker, "a"):
+            os.utime(portable_marker, (best, best))
 
 
 def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> bool:

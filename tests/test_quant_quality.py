@@ -155,3 +155,26 @@ def test_decode_leg_is_code_sensitive():
     rp = _randomize_codebooks(params, jax.random.PRNGKey(5))
     b1, b2 = mimi.decode(rp, c1), mimi.decode(rp, c2)
     assert not jnp.allclose(b1, b2)
+
+
+def test_bench_int8_quality_trained_tiny():
+    """Glue test for the trained-agreement bench (tiny sizes, few steps):
+    it must run end-to-end, report the random-vs-trained agreement pair,
+    and actually reduce the memorization loss."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import bench_int8_quality_trained
+
+    out = bench_int8_quality_trained(tiny=True)
+    assert out["int8_trained_steps"] >= 2
+    loss0, loss_end = out["int8_trained_loss"]
+    assert np.isfinite(loss_end) and loss_end < loss0
+    pair = out["int8_agree_sampled_random_vs_trained"]
+    assert len(pair) == 2 and all(0.0 <= p <= 1.0 for p in pair)
+    for leg in ("int8_quality_random_init", "int8_quality_trained"):
+        rows = out[leg]
+        assert "mixed_int8" in rows and "int8_kv_int8" in rows
+        for v in ("mixed_int8", "int8_kv_int8"):
+            assert 0.0 <= rows[v]["agree_greedy"] <= 1.0
