@@ -27,11 +27,26 @@ Defense in depth, in order:
    last validation is deserialized in a *sacrificial subprocess*
    (``cache_validate.py``); an entry that segfaults the subprocess is
    evicted and validation resumes after it. Only a tier proven
-   deserializable is ever mounted. The validation marker is **cross-host**
-   for pinned, AVX2-capable hosts (the portable invariant makes one pinned
-   host's proof transfer to all — re-proving ~4k warm entries per fresh CI
-   VM costs ~19 min on 1 vCPU, measured r4); unpinned or ISA-lacking hosts
-   keep per-host markers.
+   deserializable is ever mounted.
+
+   Proof transfer between hosts is restricted to what a validation run
+   actually proves (ADVICE r4 high): a host successfully loading an entry
+   proves the entry needs no CPU feature *that host lacks* — nothing more.
+   So the cross-host ``portable-*`` marker is **stamped only by hosts whose
+   own feature set is the AVX2 baseline with nothing above it** (no
+   AVX-512/AMX/AVX-VNNI): their success proves every entry is ≤AVX2, which
+   every AVX2-capable host can then trust without re-validating (~4k warm
+   entries ≈ 19 min per fresh CI VM on 1 vCPU, measured r4). A host with
+   features beyond the baseline would load a >AVX2-poisoned entry without
+   noticing, so its proof stays under its own per-host fingerprint marker —
+   it still *reads* the portable marker (trusting the sound stampers), it
+   just cannot write it. Marker mtimes are clamped to the present when read,
+   so a future-dated marker (cross-host clock skew on shared storage) can
+   never exempt writes newer than the reader's own clock (ADVICE r4
+   medium/low: the pre-r5 scheme adopted foreign per-host markers' mtimes
+   verbatim, letting a skewed donor exempt any host's writes inside the skew
+   window; adoption of foreign-fingerprint markers is removed outright —
+   their hosts' ISAs are unknown, so their proofs do not transfer).
 
 TPU entries are host-independent (the executable targets the chip, not the
 host CPU) and stale ones fail with clean exceptions that jax turns into
@@ -150,20 +165,54 @@ def _portable_pin_active() -> bool:
     return pin is not None and pin.upper() == PORTABLE_CPU_ISA
 
 
+def _host_cpu_flags() -> frozenset:
+    """The CPU feature flags of this host, lowercase, or empty if unknown."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith("flags"):
+                    return frozenset(ln.split(":", 1)[1].lower().split())
+    except OSError:
+        pass
+    return frozenset()
+
+
 def _host_supports_portable_isa() -> bool:
     """True when this host's CPU can execute ``PORTABLE_CPU_ISA`` code.
 
     The portable tier's invariant is that every entry was codegen'd at (or
     below) the AVX2 baseline, so any AVX2-capable host can load any entry —
-    which is what lets one host trust another pinned host's validation
-    marker. A host that cannot even execute AVX2 gets no such guarantee and
-    must validate for itself.
+    which is what lets it trust the portable validation marker (stamped
+    only by hosts whose success proves that invariant, see
+    :func:`_host_isa_beyond_portable`). A host that cannot even execute
+    AVX2 gets no such guarantee and must validate for itself.
     """
-    try:
-        with open("/proc/cpuinfo") as f:
-            return PORTABLE_CPU_ISA.lower() in f.read()
-    except OSError:
-        return False
+    return PORTABLE_CPU_ISA.lower() in _host_cpu_flags()
+
+
+#: CPU feature flags whose presence means this host could successfully load
+#: executables that exceed the AVX2 baseline — so its validation success
+#: proves nothing about portability. Prefix-matched against /proc/cpuinfo
+#: flags (``avx512f``, ``avx512dq``, …, ``amx_bf16``, ``amx_tile``, …,
+#: ``avx_vnni``/``avxvnni`` and friends).
+_BEYOND_PORTABLE_PREFIXES = ("avx512", "amx", "avx_vnni", "avxvnni",
+                             "avx_ifma", "avxifma", "avx_ne_convert",
+                             "avxneconvert")
+
+
+def _host_isa_beyond_portable() -> bool:
+    """True when this host can execute vector code ABOVE the AVX2 baseline.
+
+    Such a host loads a >AVX2-poisoned entry without noticing, so a
+    validation run on it cannot prove the portable invariant and must not
+    stamp the cross-host marker (ADVICE r4 high). Unknown feature sets
+    (no /proc/cpuinfo) conservatively count as beyond-baseline: soundness
+    is never claimed blind.
+    """
+    flags = _host_cpu_flags()
+    if not flags:
+        return True
+    return any(f.startswith(_BEYOND_PORTABLE_PREFIXES) for f in flags)
 
 
 def _host_fingerprint() -> str:
@@ -280,15 +329,16 @@ def _validate_shared_tier(tier: str, timeout: float | None = None) -> bool:
     exceptions are evicted by the subprocess itself. The marker is touched
     on success, so a fully validated tier costs one listdir per process.
 
-    **The marker is cross-host** (``.validated/portable-<jaxlib>``) when the
-    portable-ISA pin is active and this host can execute that ISA: the
-    tier's invariant is that every entry targets the AVX2 baseline, so a
-    load that succeeded on one pinned host succeeds on every AVX2-capable
-    host with the same jaxlib — re-validating thousands of warm entries per
-    fresh CI VM (~19 min at ~3.7 entries/s on a 1-vCPU host, measured r4)
-    would buy nothing. Pre-r4 per-host markers (``<fingerprint>-<jaxlib>``)
-    are adopted as the portable marker's initial timestamp, and hosts
-    without the pin (or without the ISA) still validate per-host.
+    Trust and stamping are asymmetric (ADVICE r4 high — see the module
+    docstring, layer 4): a pinned AVX2-capable host *reads* both the
+    cross-host ``.validated/portable-<jaxlib>`` marker and its own
+    fingerprint marker (newest wins, mtimes clamped to the present so clock
+    skew can never exempt future writes), but *writes* the portable marker
+    only when its own feature set is AVX2-with-nothing-above — the only
+    host class whose successful loads prove the portable invariant.
+    Beyond-baseline, unpinned, and ISA-lacking hosts stamp their own
+    fingerprint marker. Foreign fingerprint markers are never trusted:
+    their hosts' ISAs are unknown, so their proofs do not transfer.
 
     ``timeout`` is the per-entry no-progress budget (seconds), defaulting
     to ``_PER_ENTRY_TIMEOUT`` / ``$RSTNET_CACHE_VALIDATE_ENTRY_TIMEOUT``.
@@ -304,7 +354,6 @@ def _validate_shared_tier(tier: str, timeout: float | None = None) -> bool:
         ))
     marker_dir = os.path.join(tier, ".validated")
     os.makedirs(marker_dir, exist_ok=True)
-    marker, portable = _marker_path(marker_dir)
     # concurrent processes (pytest-xdist workers) dedupe through an
     # exclusive lock: the first validates, the rest then see a fresh marker
     import fcntl
@@ -313,63 +362,68 @@ def _validate_shared_tier(tier: str, timeout: float | None = None) -> bool:
     lock_f = open(lock_path, "w")
     try:
         fcntl.flock(lock_f, fcntl.LOCK_EX)
-        if portable:
-            _adopt_host_markers(marker_dir, marker)
-        return _validate_shared_tier_locked(tier, marker, timeout)
+        return _validate_shared_tier_locked(
+            tier, _trusted_marker_mtime(marker_dir),
+            _marker_path(marker_dir)[0], timeout,
+        )
     finally:
         fcntl.flock(lock_f, fcntl.LOCK_UN)
         lock_f.close()
 
 
+def _portable_marker(marker_dir: str) -> str:
+    return os.path.join(marker_dir, f"portable-{_jaxlib_tag()}")
+
+
+def _host_marker(marker_dir: str) -> str:
+    return os.path.join(marker_dir, f"{_host_fingerprint()}-{_jaxlib_tag()}")
+
+
 def _marker_path(marker_dir: str) -> tuple:
-    """(validation marker path, is-cross-host) for the active pin/host.
+    """(marker path this host STAMPS after validating, is-cross-host).
 
-    Cross-host (``portable-<jaxlib>``) when the portable pin is active AND
-    this host can execute the portable ISA; per-host fingerprint otherwise.
+    Cross-host (``portable-<jaxlib>``) only when the portable pin is active
+    AND this host's feature set is exactly the baseline class — AVX2 with
+    nothing above it — because only then does a successful validation prove
+    every entry is ≤AVX2 (ADVICE r4 high). Per-host fingerprint otherwise.
     """
+    if (
+        _portable_pin_active()
+        and _host_supports_portable_isa()
+        and not _host_isa_beyond_portable()
+    ):
+        return _portable_marker(marker_dir), True
+    return _host_marker(marker_dir), False
+
+
+def _trusted_marker_mtime(marker_dir: str) -> float:
+    """Newest validation timestamp this host may trust, clamped to now.
+
+    Sources: this host's own fingerprint marker (its own past proof), plus
+    the cross-host portable marker when the pin is active and this host can
+    execute the portable ISA (the stamper's proof transfers — stampers are
+    AVX2-only hosts, see :func:`_marker_path`). Foreign fingerprint markers
+    are never consulted. Each mtime is clamped to the present so a
+    future-dated marker — cross-host clock skew on shared storage — can
+    never exempt entries written after the reader's own clock (ADVICE r4
+    medium).
+    """
+    now = time.time()
+    candidates = [_host_marker(marker_dir)]
     if _portable_pin_active() and _host_supports_portable_isa():
-        return os.path.join(marker_dir, f"portable-{_jaxlib_tag()}"), True
-    return (
-        os.path.join(marker_dir, f"{_host_fingerprint()}-{_jaxlib_tag()}"),
-        False,
-    )
-
-
-def _adopt_host_markers(marker_dir: str, portable_marker: str) -> None:
-    """Seed the cross-host marker from pre-r4 per-host markers.
-
-    Any ``<fingerprint>-<jaxlib>`` marker proves some pinned host validated
-    the tier up to that marker's mtime; under the portable invariant that
-    proof transfers, so the portable marker inherits the NEWEST such mtime
-    (never moving backwards). Must run under the validation lock.
-    """
-    tag = _jaxlib_tag()
-    best = None
-    for name in os.listdir(marker_dir):
-        if not name.endswith(f"-{tag}") or name.startswith("portable-"):
-            continue
+        candidates.append(_portable_marker(marker_dir))
+    best = -1.0
+    for path in candidates:
         try:
-            mtime = os.stat(os.path.join(marker_dir, name)).st_mtime
+            best = max(best, min(os.stat(path).st_mtime, now))
         except OSError:
-            continue
-        best = mtime if best is None else max(best, mtime)
-    if best is None:
-        return
-    try:
-        current = os.stat(portable_marker).st_mtime
-    except OSError:
-        current = -1.0
-    if best > current:
-        with open(portable_marker, "a"):
-            os.utime(portable_marker, (best, best))
+            pass
+    return best
 
 
-def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> bool:
-    try:
-        marker_mtime = os.stat(marker).st_mtime
-    except OSError:
-        marker_mtime = -1.0
-
+def _validate_shared_tier_locked(
+    tier: str, marker_mtime: float, marker: str, timeout: float
+) -> bool:
     now = time.time()
     entries = []
     for name in os.listdir(tier):
@@ -382,8 +436,7 @@ def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> bool
         except OSError:
             pass
     if not entries:
-        with open(marker, "a"):
-            os.utime(marker, (now, now))
+        _stamp_marker(marker, now)
         return True
 
     entries.sort()
@@ -457,9 +510,25 @@ def _validate_shared_tier_locked(tier: str, marker: str, timeout: float) -> bool
                     except OSError:
                         pass
                 break
-    with open(marker, "a"):
-        os.utime(marker, (now, now))
+    _stamp_marker(marker, now)
     return True
+
+
+def _stamp_marker(marker: str, now: float) -> None:
+    """Record a successful validation at ``now`` (captured BEFORE the entry
+    listing, so entries racing in during validation stay newer than the
+    marker and are validated next start). Monotone: never moves an existing
+    marker backwards (ADVICE r4 low — readers clamp to their own clock
+    anyway, so keeping a future-dated stamp is safe, while rewinding it
+    would make other hosts churn re-validation until wall clock caught up).
+    """
+    try:
+        existing = os.stat(marker).st_mtime
+    except OSError:
+        existing = -1.0
+    ts = max(existing, now)
+    with open(marker, "a"):
+        os.utime(marker, (ts, ts))
 
 
 def setup_persistent_cache(

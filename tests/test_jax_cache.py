@@ -340,20 +340,21 @@ def test_validate_evicts_hung_entry(tmp_path, monkeypatch):
     assert left == ["b-cache", "c-cache"]
 
 
-def _pin_portable(monkeypatch, capable=True):
+def _pin_portable(monkeypatch, capable=True, beyond=False):
     monkeypatch.setattr(jax_cache, "_portable_pin_active", lambda: True)
     monkeypatch.setattr(
         jax_cache, "_host_supports_portable_isa", lambda: capable
     )
+    monkeypatch.setattr(
+        jax_cache, "_host_isa_beyond_portable", lambda: beyond
+    )
 
 
 def test_cross_host_marker_trust(tmp_path, monkeypatch):
-    """A validation marker left by ANOTHER pinned host transfers: a fresh
-    host mounts the warm tier with NO validator subprocess at all. (The
-    alternative — per-host re-validation — cost ~19 min per fresh CI VM at
-    ~4k warm entries on 1 vCPU, measured r4.)"""
-    import time
-
+    """The portable marker left by a sound stamper (an AVX2-only host)
+    transfers: a fresh pinned host mounts the warm tier with NO validator
+    subprocess at all. (The alternative — per-host re-validation — cost
+    ~19 min per fresh CI VM at ~4k warm entries on 1 vCPU, measured r4.)"""
     _pin_portable(monkeypatch)
     tier = tmp_path / "shared"
     tier.mkdir()
@@ -361,38 +362,64 @@ def test_cross_host_marker_trust(tmp_path, monkeypatch):
         (tier / f"{c}-cache").write_bytes(b"payload")
     marker_dir = tier / ".validated"
     marker_dir.mkdir()
-    # pre-r4 layout: some other host's fingerprint marker, newer than the
-    # entries (it validated them before this host ever existed)
-    other = marker_dir / f"deadbeef0123-{_jaxlib_tag()}"
-    other.touch()
-    future = time.time() + 60
-    os.utime(other, (future, future))
+    (marker_dir / f"portable-{_jaxlib_tag()}").touch()
 
     calls = []
     monkeypatch.setattr(
         jax_cache, "_run_validator", lambda *a, **k: calls.append(a) or 0
     )
     assert _validate_shared_tier(str(tier)) is True
-    assert calls == []  # the other host's proof transferred
-    assert (marker_dir / f"portable-{_jaxlib_tag()}").exists()
+    assert calls == []  # the sound stamper's proof transferred
+
+
+def test_foreign_fingerprint_marker_not_trusted(tmp_path, monkeypatch):
+    """ADVICE r4 high: another host's FINGERPRINT marker proves only that
+    entries deserialize on that host's ISA — which is unknown — so it must
+    never be adopted as portable proof. Everything re-validates here."""
+    import time
+
+    _pin_portable(monkeypatch)
+    tier = tmp_path / "shared"
+    tier.mkdir()
+    (tier / "a-cache").write_bytes(b"payload")
+    marker_dir = tier / ".validated"
+    marker_dir.mkdir()
+    other = marker_dir / f"deadbeef0123-{_jaxlib_tag()}"
+    other.touch()
+    future = time.time() + 60
+    os.utime(other, (future, future))
+
+    validated = []
+
+    def fake_run(cmd, env, progress, per_entry_timeout):
+        with open(cmd[3]) as f:
+            validated.extend(ln.strip() for ln in f if ln.strip())
+        return 0
+
+    monkeypatch.setattr(jax_cache, "_run_validator", fake_run)
+    assert _validate_shared_tier(str(tier)) is True
+    assert validated == ["a-cache"]  # no proof transfer from unknown ISA
+    # and the foreign marker was not adopted into the portable one
+    portable = marker_dir / f"portable-{_jaxlib_tag()}"
+    assert abs(portable.stat().st_mtime - future) > 30
 
 
 def test_cross_host_trust_still_validates_newer_entries(tmp_path, monkeypatch):
-    """Adoption only covers entries older than the donor marker: anything
+    """Trust only covers entries older than the portable marker: anything
     written later must still go through the sacrificial validator."""
     import time
 
     _pin_portable(monkeypatch)
     tier = tmp_path / "shared"
     tier.mkdir()
+    t0 = time.time()
     old = tier / "old-cache"
     old.write_bytes(b"payload")
+    os.utime(old, (t0 - 20, t0 - 20))
     marker_dir = tier / ".validated"
     marker_dir.mkdir()
-    other = marker_dir / f"deadbeef0123-{_jaxlib_tag()}"
-    other.touch()
-    t0 = time.time()
-    os.utime(other, (t0 + 10, t0 + 10))
+    donor = marker_dir / f"portable-{_jaxlib_tag()}"
+    donor.touch()
     fresh = tier / "fresh-cache"
     fresh.write_bytes(b"payload")
     os.utime(fresh, (t0 + 20, t0 + 20))
@@ -407,6 +434,75 @@ def test_cross_host_trust_still_validates_newer_entries(tmp_path, monkeypatch):
     monkeypatch.setattr(jax_cache, "_run_validator", fake_run)
     assert _validate_shared_tier(str(tier)) is True
     assert validated == ["fresh-cache"]  # old-cache was trusted
+
+
+def test_future_dated_marker_clamped_to_now(tmp_path, monkeypatch):
+    """ADVICE r4 medium: a future-dated marker (cross-host clock skew on
+    shared storage) must not exempt entries written inside the skew window.
+    Marker mtimes are clamped to the reader's clock, so an entry newer than
+    *now* is validated even though it is older than the marker."""
+    import time
+
+    _pin_portable(monkeypatch)
+    tier = tmp_path / "shared"
+    tier.mkdir()
+    marker_dir = tier / ".validated"
+    marker_dir.mkdir()
+    donor = marker_dir / f"portable-{_jaxlib_tag()}"
+    donor.touch()
+    t0 = time.time()
+    os.utime(donor, (t0 + 60, t0 + 60))
+    # an entry "written by a skewed host" inside the skew window: newer
+    # than now, older than the marker
+    skewed = tier / "skewed-cache"
+    skewed.write_bytes(b"payload")
+    os.utime(skewed, (t0 + 30, t0 + 30))
+
+    validated = []
+
+    def fake_run(cmd, env, progress, per_entry_timeout):
+        with open(cmd[3]) as f:
+            validated.extend(ln.strip() for ln in f if ln.strip())
+        return 0
+
+    monkeypatch.setattr(jax_cache, "_run_validator", fake_run)
+    assert _validate_shared_tier(str(tier)) is True
+    assert validated == ["skewed-cache"]
+    # ADVICE r4 low: the stamp is monotone — validation must not rewind the
+    # future-dated marker (readers clamp anyway; rewinding would churn the
+    # skewed host's own re-validation until wall clock caught up)
+    assert donor.stat().st_mtime >= t0 + 59
+
+
+def test_beyond_baseline_host_reads_portable_but_stamps_per_host(
+    tmp_path, monkeypatch
+):
+    """ADVICE r4 high: a host with >AVX2 features (AVX-512/AMX) would load a
+    poisoned entry without noticing, so its validation success must land in
+    its own fingerprint marker — but it may still TRUST the portable marker
+    written by sound (AVX2-only) stampers."""
+    import time
+
+    _pin_portable(monkeypatch, beyond=True)
+    marker_dir_path = str(tmp_path / "shared" / ".validated")
+    marker, portable = _marker_path(marker_dir_path)
+    assert not portable and _host_fingerprint() in marker
+
+    tier = tmp_path / "shared"
+    tier.mkdir()
+    (tier / "a-cache").write_bytes(b"payload")
+    marker_dir = tier / ".validated"
+    marker_dir.mkdir()
+    donor = marker_dir / f"portable-{_jaxlib_tag()}"
+    donor.touch()
+    time.sleep(0.01)
+
+    calls = []
+    monkeypatch.setattr(
+        jax_cache, "_run_validator", lambda *a, **k: calls.append(a) or 0
+    )
+    assert _validate_shared_tier(str(tier)) is True
+    assert calls == []  # trusted the sound stampers' portable marker
 
 
 def test_isa_lacking_host_keeps_per_host_marker(tmp_path, monkeypatch):
@@ -432,3 +528,20 @@ def test_isa_lacking_host_keeps_per_host_marker(tmp_path, monkeypatch):
     assert not portable and _host_fingerprint() in marker
     assert _validate_shared_tier(str(tier)) is True
     assert validated == ["a-cache"]  # no trust without the ISA
+
+
+def test_host_isa_beyond_portable_detects_avx512(monkeypatch):
+    monkeypatch.setattr(
+        jax_cache, "_host_cpu_flags",
+        lambda: frozenset({"fpu", "sse2", "avx", "avx2"}),
+    )
+    assert not jax_cache._host_isa_beyond_portable()
+    for extra in ("avx512f", "amx_tile", "avx_vnni"):
+        monkeypatch.setattr(
+            jax_cache, "_host_cpu_flags",
+            lambda extra=extra: frozenset({"avx2", extra}),
+        )
+        assert jax_cache._host_isa_beyond_portable()
+    # unknown feature set: never claim soundness blind
+    monkeypatch.setattr(jax_cache, "_host_cpu_flags", lambda: frozenset())
+    assert jax_cache._host_isa_beyond_portable()
