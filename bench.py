@@ -785,50 +785,83 @@ def bench_codec_train(n_steps: int = 8) -> dict:
 
 
 def bench_codec_converge(n_steps: int | None = None) -> dict:
-    """Codec GAN convergence evidence (VERDICT r3 item 3): several hundred
-    G/D steps on-chip on synthetic multi-tone+noise audio. Demonstrates the
-    trainer TRAINS, not just steps: reconstruction (mel + multi-res STFT)
-    losses falling, reconstruction SI-SNR rising, discriminator loss not
-    collapsing to zero (which would mean D wins and G gradients vanish),
-    and VQ codebook usage entropy staying healthy. The reference codec
-    trainer's whole purpose (``AudioCodec/MimiCodec/train.py:222-376``)."""
+    """Codec GAN training to *audible improvement* on realistic speech
+    (VERDICT r4 item 3): train the full-size Mimi generator + MFD on a
+    formant-synthesized pseudo-speech corpus (``data/synth_speech.py`` —
+    harmonic voiced segments, formant dynamics, fricatives, syllabic
+    modulation; this environment has no real corpora) and track the eval
+    suite's metrics (SI-SNR, mel-SSIM, STOI, ``evalsuite/metrics.py``) on
+    HELD-OUT clips every few hundred steps. The loss adds the Encodec-style
+    time-domain L1 to mel + multi-res STFT (+ adversarial after warmup) so
+    waveform alignment is actually trained, making SI-SNR a fair target.
+
+    ``codec_converged`` is strict: held-out SI-SNR must CROSS 0 dB, the
+    mel-SSIM curve must be (noise-tolerantly) monotone and end above its
+    start, STOI must rise, the discriminator must stay healthy once
+    adversarial training starts, and codebook usage entropy must stay up.
+    Steps default to 300 for the glue path; the recorded convergence run
+    uses BENCH_CODEC_CONVERGE_STEPS=3000 (results in ARCHITECTURE.md).
+    Reference purpose anchor: ``AudioCodec/MimiCodec/train.py:222-376``."""
     import numpy as np
     import optax
 
-    from rstnet_tpu.evalsuite.metrics import si_snr
+    from rstnet_tpu.data.synth_speech import synth_corpus
+    from rstnet_tpu.evalsuite.metrics import mel_ssim, si_snr, stoi
     from rstnet_tpu.training import codec_trainer as ct
 
     if n_steps is None:
         n_steps = int(os.environ.get("BENCH_CODEC_CONVERGE_STEPS", "300"))
-    adv_from = min(50, n_steps // 4)  # recon-only warmup, then adversarial
+    adv_from = min(200, n_steps // 4)  # recon-only warmup, then adversarial
+    eval_every = max(50, n_steps // 10)
     window = max(10, min(25, n_steps // 6))
 
     model, discs, g_loss_cfg = ct.build_from_config(
         {
             "generator": {"config": {}},
             "d_list": ["mfd"],
-            "criterion": {"g_criterion": {"config": {"use_mel_loss": True}}},
+            "criterion": {"g_criterion": {"config": {
+                "use_mel_loss": True,
+                # Encodec's loss_t, weighted so the ~0.05-RMS pseudo-speech
+                # contributes on the same scale as the spectral terms
+                "use_wav_loss": True, "wav_loss_weight": 100.0,
+            }}},
         }
     )
     g_tx = optax.adam(3e-4, b1=0.5, b2=0.9)
     d_tx = optax.adam(3e-4, b1=0.5, b2=0.9)
     g_step, d_step, _ = ct.make_steps(model, discs, g_loss_cfg, g_tx, d_tx)
 
-    # deterministic synthetic corpus: 16 clips, each a 3-tone chord +
-    # broadband noise — enough spectral variety to exercise the codebooks
-    rng = np.random.RandomState(0)
-    B, seg, sr = 4, 24000, 24000
-    t = np.arange(seg) / sr
-    bank = []
-    for _ in range(16):
-        freqs = rng.uniform(200.0, 4000.0, size=3)
-        phases = rng.uniform(0, 2 * np.pi, size=3)
-        amps = rng.uniform(0.05, 0.15, size=3)
-        clip = sum(a * np.sin(2 * np.pi * f * t + p)
-                   for f, p, a in zip(freqs, phases, amps))
-        clip = clip + 0.01 * rng.randn(seg)
-        bank.append(clip.astype(np.float32))
-    bank = np.stack(bank)  # [16, seg]
+    # deterministic pseudo-speech corpus: 32 train clips + 4 held-out
+    B, seg = 4, 24000
+    bank = synth_corpus(0, 36, seconds=1.0)
+    heldout = bank[32:]
+    bank = bank[:32]
+
+    # deterministic reconstruction (EMA buffers frozen) for held-out evals
+    @jax.jit
+    def reconstruct(g_params, buffers, audio):
+        z = model.encode_to_latent(g_params, audio)
+        zq, *_ = model.quantizer.forward(
+            g_params["quantizer"], buffers["quantizer"], z, update=False
+        )
+        return model.decode_from_latent(g_params, zq)[..., : audio.shape[-1]]
+
+    def eval_heldout(g_state) -> dict:
+        rec = np.asarray(
+            reconstruct(g_state["params"], g_state["buffers"],
+                        jnp.asarray(heldout[:, None, :]))
+        )
+        rows = [
+            (
+                si_snr(heldout[b], rec[b, 0]),
+                mel_ssim(heldout[b], rec[b, 0]),
+                stoi(heldout[b], rec[b, 0]),
+            )
+            for b in range(len(heldout))
+        ]
+        snr, ssim, st = (float(np.mean([r[j] for r in rows])) for j in range(3))
+        return {"sisnr_db": round(snr, 2), "mel_ssim": round(ssim, 4),
+                "stoi": round(st, 4)}
 
     key = jax.random.PRNGKey(0)
     g_params, buffers = model.init(key)
@@ -841,7 +874,8 @@ def bench_codec_converge(n_steps: int | None = None) -> dict:
     }
     d_state = {"params": d_params, "opt_state": d_tx.init(d_params)}
 
-    curve = []  # (step, mel, stft, d_loss, sisnr)
+    eval_curve = [{"step": 0, **eval_heldout(g_state)}]
+    curve = []  # train-batch telemetry: (step, mel, stft, d_loss)
     for i in range(n_steps):
         batch = bank[(np.arange(B) + i * B) % len(bank)][:, None, :]
         audio = jnp.asarray(batch)
@@ -851,19 +885,16 @@ def bench_codec_converge(n_steps: int | None = None) -> dict:
         )
         d_state, dm = d_step(d_state, audio, rec)
         if i < window or i >= n_steps - window or i % 25 == 0:
-            gm_np, dm_np, rec_np = jax.device_get((gm, dm, rec))
-            snr = float(np.mean([
-                si_snr(batch[b, 0], rec_np[b, 0, : batch.shape[-1]])
-                for b in range(B)
-            ]))
+            gm_np, dm_np = jax.device_get((gm, dm))
             curve.append({
                 "step": i,
                 "mel": float(gm_np.get("G_mel_loss", np.nan)),
                 "stft": float(gm_np.get("G_sc_full", 0.0))
                 + float(gm_np.get("G_mg_full", 0.0)),
                 "d_loss": float(dm_np["d_loss"]),
-                "sisnr_db": snr,
             })
+        if (i + 1) % eval_every == 0 or i == n_steps - 1:
+            eval_curve.append({"step": i + 1, **eval_heldout(g_state)})
 
     first = [c for c in curve if c["step"] < window]
     last = [c for c in curve if c["step"] >= n_steps - window]
@@ -876,23 +907,31 @@ def bench_codec_converge(n_steps: int | None = None) -> dict:
         if any(getattr(k, "key", "") == "cluster_size" for k in path)
         for e in _normalized_entropy_per_q(np.asarray(leaf))
     ]
+    ssim_curve = [c["mel_ssim"] for c in eval_curve]
+    ssim_deltas = [b - a for a, b in zip(ssim_curve, ssim_curve[1:])]
     out = {
         "codec_converge_steps": n_steps,
+        "codec_eval_curve": eval_curve,
         "codec_mel_first": round(mean([c["mel"] for c in first]), 3),
         "codec_mel_last": round(mean([c["mel"] for c in last]), 3),
         "codec_stft_first": round(mean([c["stft"] for c in first]), 3),
         "codec_stft_last": round(mean([c["stft"] for c in last]), 3),
-        "codec_sisnr_first_db": round(mean([c["sisnr_db"] for c in first]), 2),
-        "codec_sisnr_last_db": round(mean([c["sisnr_db"] for c in last]), 2),
+        "codec_sisnr_first_db": eval_curve[0]["sisnr_db"],
+        "codec_sisnr_last_db": eval_curve[-1]["sisnr_db"],
         "codec_d_loss_first": round(mean([c["d_loss"] for c in first]), 3),
         "codec_d_loss_last": round(mean([c["d_loss"] for c in last]), 3),
         "codec_codebook_entropy_mean": round(float(np.mean(ent)), 3),
         "codec_codebook_entropy_min": round(float(np.min(ent)), 3),
     }
     out["codec_converged"] = bool(
-        out["codec_mel_last"] < out["codec_mel_first"]
-        and out["codec_stft_last"] < out["codec_stft_first"]
-        and out["codec_sisnr_last_db"] > out["codec_sisnr_first_db"]
+        # audible-improvement bar: held-out waveform SI-SNR crosses 0 dB
+        out["codec_sisnr_last_db"] > 0.0
+        # mel-SSIM ends above start and is noise-tolerantly monotone
+        and ssim_curve[-1] > ssim_curve[0]
+        and (not ssim_deltas
+             or sum(d >= -0.01 for d in ssim_deltas) >= 0.75 * len(ssim_deltas))
+        and eval_curve[-1]["stoi"] > eval_curve[0]["stoi"]
+        and out["codec_mel_last"] < out["codec_mel_first"]
         and out["codec_d_loss_last"] > 0.05  # D not collapsed
         and out["codec_codebook_entropy_min"] > 0.2
     )
@@ -913,27 +952,34 @@ def _normalized_entropy_per_q(cluster_size) -> list:
     return ents
 
 
-def bench_sessions(n_frames: int = 20, sizes=(8, 32, 64), tail_frames: int = 80) -> dict:
-    """Concurrent real-time duplex sessions per chip: the full batched
-    pipeline (Mimi encode step + 2B LM frame step + Mimi decode step over
-    one shared batch, per-slot session-age masking, int8 ring-KV) swept
-    over batch sizes; a batch qualifies while the amortized frame time
-    stays under 80 ms. Falls back to half the size if a point misses.
+def bench_sessions(sizes=(8, 32, 64), tail_frames: int = 300) -> dict:
+    """Concurrent real-time duplex sessions per chip, measured through the
+    REAL serving batcher (``serving/batcher.py``) — the exact loop and
+    `/api/stats` distribution a deployed server reports (VERDICT r4 weak
+    #1/#5: the old hand-rolled sweep promoted the headline on the *mean*
+    pipelined frame time while its own synced tail failed the budget, and
+    its "p99 minus median RTT" subtraction put transport jitter into the
+    serving tail).
 
-    Per size, ALSO measures the per-session tail (VERDICT r3 item 5): every
-    batched step is one frame for every session, so the synced per-frame
-    distribution IS each session's frame-latency distribution. Sync frames
-    pay one host<->device readback — exactly what the serving batcher pays
-    (`batcher.py::_device_step` device_gets every frame) — so the budget
-    verdict uses p99 minus the measured transport RTT floor: on a
-    locally-attached chip that readback is sub-ms, on this tunneled backend
-    it is ~29 ms of pure transport."""
+    Per size B: build a ``SessionBatcher`` with every slot an active
+    session, run >= ``tail_frames`` back-to-back frame-clock ticks, and
+    read its latency tracker. The batcher's pipeline depth is chosen by
+    ``auto_pipeline_depth`` exactly as the server's ``--pipeline auto``
+    does: on a tunneled backend it dispatches frame t while fetching frame
+    t-1, so transport overlaps compute instead of being subtracted after
+    the fact — the recorded tick time is the true sustainable per-frame
+    service time including transfer. ``sessions_per_chip`` is promoted ONLY
+    when the steady-state p99 of that distribution is under the 80 ms
+    budget over >= 300 frames (recovery frames annotated, never silently
+    dropped)."""
+    import gc
+
     import numpy as np
 
     from __graft_entry__ import _flagship
     from rstnet_tpu.inference.generate import LMGen
     from rstnet_tpu.models.mimi import mimi_24k
-    from rstnet_tpu.utils.latency import FrameLatencyTracker
+    from rstnet_tpu.serving.batcher import SessionBatcher, auto_pipeline_depth
 
     mimi = mimi_24k()
     mimi_params = jax.block_until_ready(mimi.init(jax.random.PRNGKey(0)))
@@ -944,73 +990,70 @@ def bench_sessions(n_frames: int = 20, sizes=(8, 32, 64), tail_frames: int = 80)
     )
     lm_params = jax.block_until_ready(model.init(jax.random.PRNGKey(1), jnp.bfloat16))
 
-    enc = jax.jit(mimi.encode_step, donate_argnums=(1,))
-    dec = jax.jit(mimi.decode_step, donate_argnums=(1,))
-    lm = jax.jit(gen.step, donate_argnums=(1,))
-
-    # transport RTT floor (one tiny readback), for the tail budget verdict
+    depth = auto_pipeline_depth()
+    # transport RTT floor (one tiny readback), reported for context only —
+    # the budget verdict no longer subtracts it (the pipelined batcher
+    # overlaps it instead)
     null_fn = jax.jit(lambda x: x + 1)
     z = jnp.zeros((4,), jnp.int32)
     for _ in range(3):
         np.asarray(null_fn(z))
-    rtts = sorted(
-        _timed(lambda: np.asarray(null_fn(z))) for _ in range(10)
-    )
+    rtts = sorted(_timed(lambda: np.asarray(null_fn(z))) for _ in range(10))
     rtt_floor = rtts[len(rtts) // 2]
 
-    best = {"sessions_per_chip": 0, "sessions_rtt_floor_ms": round(rtt_floor, 2)}
+    best = {
+        "sessions_per_chip": 0,
+        "sessions_rtt_floor_ms": round(rtt_floor, 2),
+        "sessions_pipeline_depth": depth,
+        "sessions_tail_frames": tail_frames,
+    }
     tails = {}
     todo = list(sizes)
     while todo:
         B = todo.pop(0)
+        if str(B) in tails:
+            continue  # each size is measured exactly ONCE (no lucky retries)
+        batcher = None
         try:
-            es = mimi.init_encode_state(B)
-            ds = mimi.init_decode_state(B)
-            ls = gen.init_state(B)
-            age = jnp.zeros((B,), jnp.int32)
-            key = jax.random.PRNGKey(2)
-            chunk = jnp.zeros((B, 1, mimi.frame_size))
-
-            def frame(es, ds, ls, age, key):
-                codes, es = enc(mimi_params, es, chunk, age)
-                key, sub = jax.random.split(key)
-                out, valid, ls = lm(lm_params, ls, sub)
-                audio, ds = dec(mimi_params, ds, out[:, 1:, :], age)
-                return audio, es, ds, ls, age + 1, key
-
-            for _ in range(3):
-                audio, es, ds, ls, age, key = frame(es, ds, ls, age, key)
-            np.asarray(audio)
-            t0 = time.perf_counter()
-            for _ in range(n_frames):
-                audio, es, ds, ls, age, key = frame(es, ds, ls, age, key)
-            np.asarray(audio)
-            ms = (time.perf_counter() - t0) / n_frames * 1000
-            # synced per-frame tail: one readback per frame, like the
-            # serving batcher's real loop
-            tracker = FrameLatencyTracker()
+            batcher = SessionBatcher(
+                mimi, mimi_params, gen, lm_params, max_sessions=B,
+                pipeline_depth=depth,
+                # the server's --wire auto rule: int16 PCM over the wire
+                # whenever the chip is remote enough to need pipelining
+                wire_dtype="int16" if depth > 1 else "float32",
+            )
+            held = [batcher.acquire() for _ in range(B)]
+            assert all(s is not None for s in held)
+            for _ in range(depth + 3):  # compile + fill the pipeline
+                batcher.step_once()
+            np.asarray(batcher.lm_state["offset"])  # drain
+            batcher.latency.samples_ms.clear()
             for _ in range(tail_frames):
-                t0 = time.perf_counter()
-                audio, es, ds, ls, age, key = frame(es, ds, ls, age, key)
-                np.asarray(audio)
-                tracker.record((time.perf_counter() - t0) * 1000.0)
-            s = tracker.summary()
-            p99s = s.get("p99_steady_ms", s.get("p99_ms"))
+                batcher.step_once()
+                for sess in held:  # keep output queues from filling
+                    while not sess.outputs.empty():
+                        sess.outputs.get_nowait()
+            s = batcher.latency.summary()
+            ms = float(np.mean(batcher.latency.samples_ms))
+            under = bool(s.get("p99_under_budget"))
             tails[str(B)] = {
-                "p50_sync_ms": s.get("p50_ms"),
-                "p99_sync_ms": s.get("p99_ms"),
-                "p99_steady_sync_ms": s.get("p99_steady_ms"),
+                "mean_tick_ms": round(ms, 2),
+                "p50_ms": s.get("p50_ms"),
+                "p99_ms": s.get("p99_ms"),
+                "p99_steady_ms": s.get("p99_steady_ms"),
+                "max_ms": s.get("max_ms"),
+                "n_frames": s.get("n_frames"),
                 "n_recovery_excluded": s.get("n_recovery_excluded", 0),
-                "p99_minus_rtt_ms": round(max((p99s or 0.0) - rtt_floor, 0.0), 2),
-                "p99_under_budget": bool(p99s is not None
-                                         and p99s - rtt_floor < 80.0),
+                "p99_under_budget": under,
             }
-            del es, ds, ls, audio
-            if ms < 80.0:
+            # the headline gate (VERDICT r4 item 1): steady-state p99 of the
+            # real batcher loop under budget over >= 300 frames
+            if under and s.get("n_frames", 0) >= 300:
                 if B > best["sessions_per_chip"]:
                     best.update({
                         "sessions_per_chip": B,
                         "sessions_frame_ms": round(ms, 2),
+                        "sessions_p99_ms": s.get("p99_steady_ms"),
                         "sessions_frames_per_sec": round(B * 1000 / ms, 1),
                     })
             elif B >= 8 and not todo:
@@ -1019,6 +1062,9 @@ def bench_sessions(n_frames: int = 20, sizes=(8, 32, 64), tail_frames: int = 80)
             best.setdefault("sessions_bench_error", str(e)[:120])
             if B >= 8 and not todo:
                 todo.append(B // 2)
+        finally:
+            del batcher
+            gc.collect()
     if tails:
         best["sessions_tail"] = tails
     return best
@@ -1028,6 +1074,38 @@ def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
     return (time.perf_counter() - t0) * 1000.0
+
+
+def _median(xs) -> float:
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def _reps(loop_fn, per_call_frames: int, n_reps: int | None = None) -> list:
+    """>= 3 timing repetitions of a pipelined loop (VERDICT r4 item 5: a
+    point estimate on a tunneled backend whose RTT floor itself drifts
+    cannot support round-over-round +-3% claims). Returns per-frame ms per
+    repetition; publish the median and the spread, not one number."""
+    if n_reps is None:
+        n_reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
+    out = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        loop_fn()
+        out.append((time.perf_counter() - t0) / per_call_frames * 1000.0)
+    return [round(x, 3) for x in out]
+
+
+def _rtt_floor() -> float:
+    """Median of 10 null-op readbacks: the pure host<->device RTT."""
+    import numpy as np
+
+    null_fn = jax.jit(lambda x: x + 1)
+    z = jnp.zeros((4,), jnp.int32)
+    for _ in range(3):
+        np.asarray(null_fn(z))
+    rtts = sorted(_timed(lambda: np.asarray(null_fn(z))) for _ in range(10))
+    return rtts[len(rtts) // 2]
 
 
 def main():
@@ -1090,13 +1168,21 @@ def main():
     # silently dropped (method note: utils/latency.py)
     tail = tracker.summary()
 
-    # amortized device time per frame (pipelined, one readback at the end)
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        key, sub = jax.random.split(key)
-        out, valid, state = step(params, state, sub)
-    np.asarray(out)
-    amortized = (time.perf_counter() - t0) / n_frames * 1000.0
+    # amortized device time per frame (pipelined, one readback at the end),
+    # repeated >= 3x: median defines the published number, the spread and a
+    # per-repetition RTT floor make round-over-round deltas interpretable
+    # (VERDICT r4 item 5)
+    rtt_floor_reps = [round(_rtt_floor(), 3)]
+
+    def _amortized_loop():
+        nonlocal key, state, out
+        for _ in range(n_frames):
+            key, sub = jax.random.split(key)
+            out, valid, state = step(params, state, sub)
+        np.asarray(out)
+
+    amortized_reps = _reps(_amortized_loop, n_frames)
+    amortized = _median(amortized_reps)
 
     # multi-frame dispatch (LMGen.step_scan): N frames per call via
     # lax.scan, paying the per-call dispatch overhead once per N frames —
@@ -1109,12 +1195,16 @@ def main():
     outs, valids, state = scan_step(params, state, sub, n_frames=SCAN_N)
     np.asarray(outs)  # compile + drain
     n_calls = max(2, n_frames // SCAN_N)
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        key, sub = jax.random.split(key)
-        outs, valids, state = scan_step(params, state, sub, n_frames=SCAN_N)
-    np.asarray(outs)
-    scan_ms = (time.perf_counter() - t0) / (n_calls * SCAN_N) * 1000.0
+
+    def _scan_loop():
+        nonlocal key, state, outs, valids
+        for _ in range(n_calls):
+            key, sub = jax.random.split(key)
+            outs, valids, state = scan_step(params, state, sub, n_frames=SCAN_N)
+        np.asarray(outs)
+
+    scan_reps = _reps(_scan_loop, n_calls * SCAN_N)
+    scan_ms = _median(scan_reps)
 
     # headline: per-call amortized frame latency — the SAME semantics every
     # round (VERDICT r3 weak #4: r03's headline silently switched to the
@@ -1125,18 +1215,11 @@ def main():
     # transfer-floor breakdown: a null op + readback measures the pure
     # host<->device round trip (on the tunneled axon backend ~29 ms — the
     # gap between p50_sync and amortized is this floor, not compute; on a
-    # locally-attached TPU the same fetch is sub-ms)
-    null_fn = jax.jit(lambda x: x + 1)
-    z = jnp.zeros((4,), jnp.int32)
-    for _ in range(3):
-        np.asarray(null_fn(z))
-    rtts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        np.asarray(null_fn(z))
-        rtts.append((time.perf_counter() - t0) * 1000.0)
-    rtts.sort()
-    rtt_floor = rtts[len(rtts) // 2]
+    # locally-attached TPU the same fetch is sub-ms). Re-measured here (and
+    # once more at the end): the floor itself drifts between rounds, so each
+    # repetition's floor is published alongside the timing repetitions.
+    rtt_floor_reps.append(round(_rtt_floor(), 3))
+    rtt_floor = _median(rtt_floor_reps)
 
     int8_detail = {}
     if os.environ.get("BENCH_HEAD_INT8", "1") == "1" and size != "tiny":
@@ -1151,13 +1234,17 @@ def main():
                 key, sub = jax.random.split(key)
                 out_h, _, state_h = step(params_h, state_h, sub)
             np.asarray(out_h)
-            t0 = time.perf_counter()
-            for _ in range(n_frames):
-                key, sub = jax.random.split(key)
-                out_h, _, state_h = step(params_h, state_h, sub)
-            np.asarray(out_h)
-            head_ms = (time.perf_counter() - t0) / n_frames * 1000.0
-            int8_detail["head_int8_amortized_ms"] = round(head_ms, 3)
+
+            def _head_loop():
+                nonlocal key, state_h, out_h
+                for _ in range(n_frames):
+                    key, sub = jax.random.split(key)
+                    out_h, _, state_h = step(params_h, state_h, sub)
+                np.asarray(out_h)
+
+            reps = _reps(_head_loop, n_frames)
+            int8_detail["head_int8_amortized_ms"] = _median(reps)
+            int8_detail["head_int8_reps_ms"] = reps
             del params_h, state_h, out_h
         except Exception as e:  # noqa: BLE001
             int8_detail["head_int8_bench_error"] = str(e)[:120]
@@ -1179,26 +1266,34 @@ def main():
                 key, sub = jax.random.split(key)
                 out_m, _, state_m = step(params_m, state_m, sub)
             np.asarray(out_m)
-            t0 = time.perf_counter()
-            for _ in range(n_frames):
-                key, sub = jax.random.split(key)
-                out_m, _, state_m = step(params_m, state_m, sub)
-            np.asarray(out_m)
-            int8_detail["mixed_int8_amortized_ms"] = round(
-                (time.perf_counter() - t0) / n_frames * 1000.0, 3
-            )
+
+            def _mixed_loop():
+                nonlocal key, state_m, out_m
+                for _ in range(n_frames):
+                    key, sub = jax.random.split(key)
+                    out_m, _, state_m = step(params_m, state_m, sub)
+                np.asarray(out_m)
+
+            reps = _reps(_mixed_loop, n_frames)
+            int8_detail["mixed_int8_amortized_ms"] = _median(reps)
+            int8_detail["mixed_int8_reps_ms"] = reps
             # and the mixed mode through the multi-frame dispatch
             key, sub = jax.random.split(key)
             outs_m, _, state_m = scan_step(params_m, state_m, sub, n_frames=SCAN_N)
             np.asarray(outs_m)
-            t0 = time.perf_counter()
-            for _ in range(n_calls):
-                key, sub = jax.random.split(key)
-                outs_m, _, state_m = scan_step(params_m, state_m, sub, n_frames=SCAN_N)
-            np.asarray(outs_m)
-            int8_detail["mixed_int8_scan_ms"] = round(
-                (time.perf_counter() - t0) / (n_calls * SCAN_N) * 1000.0, 3
-            )
+
+            def _mixed_scan_loop():
+                nonlocal key, state_m, outs_m
+                for _ in range(n_calls):
+                    key, sub = jax.random.split(key)
+                    outs_m, _, state_m = scan_step(
+                        params_m, state_m, sub, n_frames=SCAN_N
+                    )
+                np.asarray(outs_m)
+
+            reps = _reps(_mixed_scan_loop, n_calls * SCAN_N)
+            int8_detail["mixed_int8_scan_ms"] = _median(reps)
+            int8_detail["mixed_int8_scan_reps_ms"] = reps
             del params_m, state_m, out_m, outs_m
         except Exception as e:  # noqa: BLE001
             int8_detail["mixed_int8_bench_error"] = str(e)[:120]
@@ -1214,16 +1309,25 @@ def main():
                 key, sub = jax.random.split(key)
                 out_q, _, state_q = step(params_q, state_q, sub)
             np.asarray(out_q)
-            t0 = time.perf_counter()
-            for _ in range(n_frames):
-                key, sub = jax.random.split(key)
-                out_q, _, state_q = step(params_q, state_q, sub)
-            np.asarray(out_q)
-            int8_ms = (time.perf_counter() - t0) / n_frames * 1000.0
-            int8_detail["int8_amortized_ms"] = round(int8_ms, 3)
+
+            def _int8_loop():
+                nonlocal key, state_q, out_q
+                for _ in range(n_frames):
+                    key, sub = jax.random.split(key)
+                    out_q, _, state_q = step(params_q, state_q, sub)
+                np.asarray(out_q)
+
+            reps = _reps(_int8_loop, n_frames)
+            int8_detail["int8_amortized_ms"] = _median(reps)
+            int8_detail["int8_reps_ms"] = reps
             del params_q, state_q, out_q
         except Exception as e:  # noqa: BLE001 - the headline must still print
             int8_detail["int8_bench_error"] = str(e)[:120]
+
+    # third RTT-floor sample, after the int8 modes: the published floor is
+    # the median of floors taken at the start, middle, and end of the run
+    rtt_floor_reps.append(round(_rtt_floor(), 3))
+    rtt_floor = _median(rtt_floor_reps)
 
     from rstnet_tpu.core import param_count
 
@@ -1313,6 +1417,11 @@ def main():
                     "frames_per_sec": round(1000.0 / p50, 2),
                     "p50_sync_ms": round(p50_sync, 3),
                     "amortized_ms": round(amortized, 3),
+                    # per-repetition values (median defines the published
+                    # number; the spread bounds what deltas are meaningful)
+                    "amortized_reps_ms": amortized_reps,
+                    "scan_reps_ms": scan_reps,
+                    "rtt_floor_reps_ms": rtt_floor_reps,
                     # N frames per dispatch via lax.scan (LMGen.step_scan):
                     # per-call dispatch paid once per N — the true on-device
                     # frame time to within dispatch/N

@@ -114,6 +114,13 @@ class GeneratorLossConfig:
     sub_fft_sizes: tuple = (128, 256, 256)
     sub_win_sizes: tuple = (80, 120, 200)
     sub_hop_sizes: tuple = (20, 40, 50)
+    #: Encodec-style time-domain L1 (`loss_t`, Defossez et al. 2022 eq. 1;
+    #: the reference's enh_loss.py carries the same wav_mae term for its
+    #: enhancement mode). Off by default — Mimi trains spectral+adversarial
+    #: only — but needed whenever waveform alignment itself is a target
+    #: (enhancement, SI-SNR-tracked convergence runs).
+    use_wav_loss: bool = False
+    wav_loss_weight: float = 0.0
 
 
 def generator_loss(
@@ -138,6 +145,10 @@ def generator_loss(
                 fm = feature_match_loss(fmap_real[name], fmap_fake[name])
                 g_loss = g_loss + fm * cfg.feat_match_loss_weight
                 items[f"G_fm_{name}"] = fm
+    if cfg.use_wav_loss:
+        wav = jnp.mean(jnp.abs(outputs - jax.lax.stop_gradient(targets)))
+        g_loss = g_loss + wav * cfg.wav_loss_weight
+        items["G_wav_loss"] = wav
     if cfg.use_mel_loss:
         mel_kw = dict(cfg.mel_kwargs)
         mel_out = mel_spectrogram(outputs[:, 0], **mel_kw)

@@ -255,6 +255,36 @@ class MimiModel:
             new_state["upsample"] = self._zero_slot_rows(state["upsample"], slots)
         return new_state
 
+    @staticmethod
+    def _mask_slot_rows(tree: State, mask: jax.Array) -> State:
+        """Boolean-mask variant of ``_zero_slot_rows`` (mask [B], True =
+        reset that slot): traceable inside jit with no dynamic indices, so
+        a fused serving step can reset slots the moment their first valid
+        frame arrives without a separate host-triggered dispatch."""
+
+        def walk(node, name=""):
+            if isinstance(node, dict):
+                return {k: walk(v, k) for k, v in node.items()}
+            if isinstance(node, (list, tuple)):
+                return type(node)(walk(v, name) for v in node)
+            if name == "first":
+                return jnp.where(mask, True, node)
+            if node.ndim >= 1:
+                m = mask.reshape((-1,) + (1,) * (node.ndim - 1))
+                return jnp.where(m, jnp.zeros((), node.dtype), node)
+            return node
+
+        return walk(tree)
+
+    def mask_decode_slots(self, state: State, mask: jax.Array) -> State:
+        """Reset decode slots where ``mask`` [B] is True (jit-traceable;
+        same semantics as ``reset_decode_slots`` on the True indices)."""
+        new_state = dict(state)
+        new_state["decoder"] = self._mask_slot_rows(state["decoder"], mask)
+        if "upsample" in state:
+            new_state["upsample"] = self._mask_slot_rows(state["upsample"], mask)
+        return new_state
+
 
 def mimi_24k(
     num_codebooks: int = 8,

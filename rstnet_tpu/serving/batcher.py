@@ -19,15 +19,26 @@ codec encode step + LM frame step + codec decode step — across up to
 * All shapes are static: the batch is always ``max_sessions`` wide; empty
   slots compute garbage that is never read. This is the XLA analogue of the
   reference's CUDA-graph capture — one compiled step, replayed forever.
+* The whole frame — codec encode + LM step + codec decode + age/PRNG
+  bookkeeping — is ONE fused jitted function (``_fused_step``): XLA fuses
+  across the module boundaries, and a tick costs one dispatch + one fetch.
+  On a remote/tunneled chip the unfused layout paid ~47 ms/tick of pure
+  host<->device RPC overhead at ANY batch size (3 uploads + 4 dispatches +
+  1 fetch, each a round trip); fused, the only per-tick upload is the
+  audio itself. ``pipeline_depth=2`` additionally overlaps the fetch with
+  the next frame's compute (see ``auto_pipeline_depth``).
 
-Measured on one v5e chip with the 2B flagship (see ``BENCH_SESSIONS=sweep
-python bench.py``): 64 concurrent real-time sessions per chip with the
-int8 ring-KV (``LMGen(kv_int8=True)``), 32 with the bf16 cache.
+Capacity on one v5e chip with the 2B flagship and int8 ring-KV is the
+bench's ``sessions_per_chip`` (``BENCH_SESSIONS=sweep python bench.py``),
+promoted only when the steady-state p99 tick time of THIS loop holds the
+80 ms budget over >= 300 frames — see BENCH_r05.json / ARCHITECTURE.md
+for the current measured value and its full tail distribution.
 """
 
 from __future__ import annotations
 
 import asyncio
+import collections
 import dataclasses
 import logging
 import threading
@@ -41,6 +52,27 @@ import numpy as np
 from rstnet_tpu.inference.generate import LMGen
 
 FRAME_SECONDS = 0.08
+
+
+def auto_pipeline_depth(budget_ms: float = FRAME_SECONDS * 1000.0) -> int:
+    """Pick the frame-clock pipeline depth from the measured readback RTT.
+
+    Depth 2 (dispatch frame t, fetch frame t-1) only pays off when the
+    host<->device round trip is a material slice of the frame budget — a
+    tunneled/remote chip (~30 ms on axon). On a locally-attached TPU the
+    fetch is sub-ms and depth 1 avoids the extra frame of latency.
+    """
+    null_fn = jax.jit(lambda x: x + 1)
+    z = jnp.zeros((4,), jnp.int32)
+    for _ in range(3):
+        np.asarray(null_fn(z))  # compile + settle
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(null_fn(z))
+        rtts.append((time.perf_counter() - t0) * 1000.0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    return 2 if rtt > 0.2 * budget_ms else 1
 
 
 @dataclasses.dataclass
@@ -63,7 +95,25 @@ class SessionBatcher:
         lm_params,
         max_sessions: int = 8,
         dtype=jnp.bfloat16,
+        pipeline_depth: int = 1,
+        wire_dtype: str = "float32",
     ):
+        """``pipeline_depth`` > 1 overlaps the host<->device transfer with
+        device compute: tick *t* dispatches frame *t* and fetches frame
+        ``t - depth + 1``, so the per-tick cost is ~max(compute, transfer)
+        instead of compute + transfer, at the price of ``depth - 1`` frames
+        (80 ms each) of added end-to-end latency. Worth it only when the
+        readback round-trip is a real fraction of the frame budget (a
+        tunneled/remote chip, ~30 ms here); on a locally-attached TPU the
+        fetch is sub-ms and depth 1 is strictly better. The server's
+        ``--pipeline auto`` measures the RTT and decides.
+
+        ``wire_dtype="int16"`` moves PCM host<->device as 16-bit integers
+        (the exact format WebSocket clients send and receive — quantization
+        the transport already imposes, not new loss): float conversion
+        happens on device inside the fused step, halving the per-tick
+        transfer bytes. Matters on a bandwidth-limited tunnel at large B
+        (B=64: 2 x 0.5 MB/tick -> 2 x 0.25 MB); irrelevant locally."""
         # Slot isolation relies on *relative* positions (rope/none): a slot
         # joining at global offset t must behave as a fresh stream at 0.
         # Absolute sin embeddings would leak the global clock into late
@@ -84,25 +134,38 @@ class SessionBatcher:
         self.lm_params = lm_params
         self.max_sessions = int(max_sessions)
         self.frame_size = mimi.frame_size
-        # donate the streaming states: the ring-cache updates then write in
-        # place instead of copying the whole KV cache every frame (at 32
-        # sessions the LM cache alone is ~3 GB)
-        self._encode_step = jax.jit(self.mimi.encode_step, donate_argnums=(1,))
-        self._decode_step = jax.jit(self.mimi.decode_step, donate_argnums=(1,))
-        self._lm_step = jax.jit(self.lm_gen.step, donate_argnums=(1,))
         B = self.max_sessions
-        self.enc_state = mimi.init_encode_state(B)
-        self.dec_state = mimi.init_decode_state(B)
-        self.lm_state = lm_gen.init_state(B, dtype=dtype)
+        # ONE device-resident state pytree (streaming states + per-slot ages
+        # + PRNG key) consumed by ONE fused jitted step per tick. Fusing
+        # matters twice over: XLA fuses across the enc/LM/dec boundary, and
+        # — decisive on a tunneled/remote chip — a tick costs one dispatch
+        # + one fetch instead of 3 uploads + 4 dispatches + 1 fetch (each a
+        # host<->device round trip; measured ~47 ms/tick of pure RPC
+        # overhead at ANY batch size with the unfused layout). Donated: the
+        # ring-cache updates write in place instead of copying the whole KV
+        # cache every frame (at 32 sessions the LM cache alone is ~3 GB).
+        self._state = {
+            "enc": mimi.init_encode_state(B),
+            "dec": mimi.init_decode_state(B),
+            "lm": lm_gen.init_state(B, dtype=dtype),
+            "age": jnp.zeros((B,), jnp.int32),
+            # decoder age counts only VALID frames: during a slot's LM delay
+            # warmup the generated rows hold initial/UNGENERATED ids, which
+            # must not advance the slot's decoder state (the solo server
+            # skips decode on invalid frames, server.py:86-90); the batched
+            # step can't skip per slot, so the fused step re-resets the
+            # slot's decoder rows at its first valid frame (mask_decode_
+            # slots) and its codec session age counts from there.
+            "dec_age": jnp.zeros((B,), jnp.int32),
+            "key": jax.random.PRNGKey(int(time.time())),
+        }
+        self.wire_int16 = wire_dtype in ("int16", "pcm16")
+        self._step = jax.jit(self._fused_step, donate_argnums=(2,))
+        # host mirrors of the per-slot ages: validity and first-valid-frame
+        # decisions are deterministic counters, so the host tracks them
+        # without ever reading the device copies
         self.age = np.zeros((B,), np.int32)
-        # decoder age counts only VALID frames: during a slot's LM delay
-        # warmup the generated rows hold initial/UNGENERATED ids, which must
-        # not advance the slot's decoder state (the solo server skips decode
-        # on invalid frames, server.py:86-90); the batched step can't skip
-        # per slot, so the slot's decoder is re-reset at its first valid
-        # frame and its codec session age starts counting from there.
         self.dec_age = np.zeros((B,), np.int32)
-        self.key = jax.random.PRNGKey(int(time.time()))
         self.sessions: dict[int, Session] = {}
         self._free = list(range(B))
         # per-slot generation counter: bumped on every acquire so frames
@@ -110,6 +173,10 @@ class SessionBatcher:
         # to a new one (the device step runs concurrently with join/leave)
         self._gen = [0] * B
         self._task: Optional[asyncio.Task] = None
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        # dispatched-but-not-fetched steps: (snapshot, audio_dev, out_dev,
+        # valid_np); bounded by pipeline_depth - 1
+        self._inflight: collections.deque = collections.deque()
         self.last_step_ms = 0.0
         # tail-latency telemetry: every batched device step is one frame for
         # every active session, so this IS the per-session frame-latency
@@ -121,6 +188,64 @@ class SessionBatcher:
         # thread while acquire/release mutate the same states from the
         # event loop on session join/leave
         self._state_lock = threading.Lock()
+
+    # -- the fused frame step (traced once, dispatched once per tick) -------
+
+    def _fused_step(self, mimi_params, lm_params, state, pcm):
+        """codec encode + LM frame + codec decode + age/PRNG bookkeeping as
+        ONE jitted function: (audio, out, new_state)."""
+        mimi, gen = self.mimi, self.lm_gen
+        if self.wire_int16:  # wire PCM -> float on device
+            pcm = pcm.astype(jnp.float32) * (1.0 / 32767.0)
+        key, sub = jax.random.split(state["key"])
+        codes, enc = mimi.encode_step(
+            mimi_params, state["enc"], pcm, state["age"]
+        )
+        user = (
+            codes[:, : gen.num_user_streams, :] if gen.num_user_streams else None
+        )
+        out, valid, lm = gen.step(lm_params, state["lm"], sub, user)
+        # slots seeing their first valid frame: drop the decoder state their
+        # warmup garbage advanced (deterministic from the age counters)
+        first_valid = valid & (state["dec_age"] == 0)
+        dec_state = mimi.mask_decode_slots(state["dec"], first_valid)
+        # warmup rows hold initial/UNGENERATED ids: clamp to legal codes so
+        # the (discarded) decode of those rows stays finite
+        codes_out = jnp.clip(out[:, 1:, :], 0, mimi.quantizer.bins - 1)
+        audio, dec = mimi.decode_step(
+            mimi_params, dec_state, codes_out, state["dec_age"]
+        )
+        new_state = {
+            "enc": enc, "dec": dec, "lm": lm,
+            "age": state["age"] + 1,
+            "dec_age": state["dec_age"] + valid.astype(jnp.int32),
+            "key": key,
+        }
+        if self.wire_int16:  # float -> wire PCM on device
+            audio = (jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        return audio, out, new_state
+
+    # back-compat views of the fused state (tests/bench peek; `key` is
+    # also settable for deterministic runs)
+    @property
+    def key(self):
+        return self._state["key"]
+
+    @key.setter
+    def key(self, value):
+        self._state = {**self._state, "key": value}
+
+    @property
+    def enc_state(self):
+        return self._state["enc"]
+
+    @property
+    def dec_state(self):
+        return self._state["dec"]
+
+    @property
+    def lm_state(self):
+        return self._state["lm"]
 
     # -- slot management ----------------------------------------------------
 
@@ -134,9 +259,13 @@ class SessionBatcher:
             # under the same lock, so a bump is never visible without the
             # matching state reset (and vice versa)
             self._gen[slot] += 1
-            self.enc_state = self.mimi.reset_encode_slots(self.enc_state, [slot])
-            self.dec_state = self.mimi.reset_decode_slots(self.dec_state, [slot])
-            self.lm_state = self.lm_gen.reset_slots(self.lm_state, [slot])
+            st = dict(self._state)
+            st["enc"] = self.mimi.reset_encode_slots(st["enc"], [slot])
+            st["dec"] = self.mimi.reset_decode_slots(st["dec"], [slot])
+            st["lm"] = self.lm_gen.reset_slots(st["lm"], [slot])
+            st["age"] = st["age"].at[slot].set(0)
+            st["dec_age"] = st["dec_age"].at[slot].set(0)
+            self._state = st
             self.age[slot] = 0
             self.dec_age[slot] = 0
         sess = Session(slot, asyncio.Queue(maxsize=64), asyncio.Queue(maxsize=64))
@@ -171,7 +300,14 @@ class SessionBatcher:
         return pcm, snapshot
 
     def _device_step(self, pcm: np.ndarray, snapshot: Optional[dict[int, int]] = None):
-        """The batched device round-trip (safe to run in a worker thread)."""
+        """One frame-clock tick on the device (safe in a worker thread):
+        dispatch this frame's batched step, then fetch the OLDEST in-flight
+        step once ``pipeline_depth`` steps are queued (at depth 1 that is
+        the step just dispatched — the classic synchronous round-trip).
+
+        Returns ``(snapshot, audio_np, out_np, valid_np)`` for the fetched
+        (possibly older) frame, or None while the pipeline is still filling.
+        """
         with self._state_lock:
             if snapshot is not None:
                 # a slot re-acquired after input gather must not consume the
@@ -181,46 +317,48 @@ class SessionBatcher:
                     if self._gen[slot] != gen:
                         pcm[slot] = 0.0
             t0 = time.perf_counter()
-            age = jnp.asarray(self.age)
-            codes, self.enc_state = self._encode_step(
-                self.mimi_params, self.enc_state, jnp.asarray(pcm), age
-            )
-            user_streams = self.lm_gen.num_user_streams
-            user = codes[:, :user_streams, :] if user_streams else None
-            self.key, sub = jax.random.split(self.key)
-            out, _, self.lm_state = self._lm_step(
-                self.lm_params, self.lm_state, sub, user
+            if self.wire_int16:
+                pcm = (np.clip(pcm, -1.0, 1.0) * 32767.0).astype(np.int16)
+            # ONE dispatch: the fused step carries its own ages and PRNG key
+            # on device, so the only per-tick upload is the audio itself
+            audio, out, self._state = self._step(
+                self.mimi_params, self.lm_params, self._state, jnp.asarray(pcm)
             )
             # validity is deterministic from the ages — no device sync needed
             valid_np = (self.age + 1) > self.lm_gen.max_delay
-            first_valid = [int(s) for s in np.nonzero(valid_np & (self.dec_age == 0))[0]]
-            if first_valid:
-                # discard decoder state advanced by the slot's warmup garbage
-                self.dec_state = self.mimi.reset_decode_slots(self.dec_state, first_valid)
-            # warmup rows hold initial/UNGENERATED ids: clamp to legal codes
-            # so the (discarded) decode of those rows stays finite
-            codes_out = jnp.clip(out[:, 1:, :], 0, self.mimi.quantizer.bins - 1)
-            audio, self.dec_state = self._decode_step(
-                self.mimi_params, self.dec_state, codes_out, jnp.asarray(self.dec_age)
-            )
+            # per-dispatch bookkeeping (host mirrors of the device counters)
+            self.age += 1
+            self.dec_age += valid_np.astype(np.int32)
+            self._inflight.append((snapshot, audio, out, valid_np))
+            if len(self._inflight) < self.pipeline_depth:
+                return None  # pipeline still filling: nothing to deliver yet
+            old_snap, audio_d, out_d, valid_old = self._inflight.popleft()
             # ONE batched fetch: on a tunneled device every separate
             # np.asarray pays a full host<->device round trip (~29 ms on
             # axon), so fetching audio and tokens together halves the
-            # per-frame transfer cost
-            audio_np, out_np = jax.device_get((audio, out))
+            # per-frame transfer cost. At depth > 1 this fetch targets a
+            # step dispatched depth-1 ticks ago, whose compute has already
+            # overlapped the intervening ticks — the fetch costs ~one RTT.
+            audio_np, out_np = jax.device_get((audio_d, out_d))
             self.last_step_ms = (time.perf_counter() - t0) * 1000.0
             self.latency.record(self.last_step_ms)
-            self.age += 1
-            self.dec_age += valid_np.astype(np.int32)
-        return audio_np, out_np, valid_np
+        if self.wire_int16:
+            audio_np = audio_np.astype(np.float32) * (1.0 / 32767.0)
+        return old_snap, audio_np, out_np, valid_old
 
-    def _distribute(self, snapshot: dict[int, int], audio_np, out_np, valid_np) -> None:
-        """Route outputs to session queues (event-loop thread only).
+    def _distribute(self, result) -> None:
+        """Route a fetched frame to session queues (event-loop thread only).
 
-        ``snapshot`` maps slot -> generation at input-gather time; a frame is
-        delivered only to the SAME occupant it was computed for — a slot
-        released and re-acquired mid-step must not hear one frame of the
-        previous conversation."""
+        ``result`` is ``_device_step``'s return: None while the pipeline
+        fills, else the fetched frame plus the slot->generation snapshot
+        taken when ITS inputs were gathered; a frame is delivered only to
+        the SAME occupant it was computed for — a slot released and
+        re-acquired mid-flight must not hear one frame of the previous
+        conversation."""
+        if result is None:
+            return
+        snapshot, audio_np, out_np, valid_np = result
+        snapshot = snapshot or {}
         for slot, sess in list(self.sessions.items()):
             if snapshot.get(slot) != self._gen[slot]:
                 continue
@@ -236,7 +374,7 @@ class SessionBatcher:
         if not self.sessions:
             return
         pcm, snapshot = self._gather_inputs()
-        self._distribute(snapshot, *self._device_step(pcm, snapshot))
+        self._distribute(self._device_step(pcm, snapshot))
 
     def _fail_sessions(self, exc: BaseException) -> None:
         """Terminate every active session after a step failure so clients
@@ -257,6 +395,7 @@ class SessionBatcher:
             self.sessions.pop(slot, None)
             if slot not in self._free:
                 self._free.append(slot)
+        self._inflight.clear()  # in-flight frames belong to dead sessions
         logging.error("batched frame step failed; closed all sessions: %r", exc)
 
     async def run(self) -> None:
@@ -276,7 +415,7 @@ class SessionBatcher:
                     result = await loop.run_in_executor(
                         None, self._device_step, pcm, snapshot
                     )
-                    self._distribute(snapshot, *result)
+                    self._distribute(result)
                 except asyncio.CancelledError:
                     raise
                 except Exception as e:  # noqa: BLE001 - clock must survive
@@ -305,7 +444,10 @@ class SessionBatcher:
         """Compile the batched steps before accepting traffic."""
         sess = self.acquire()
         assert sess is not None
-        for _ in range(n_frames):
+        # enough frames to fill the pipeline and exercise the fetch path
+        for _ in range(max(n_frames, self.pipeline_depth + 1)):
             self.step_once()
         np.asarray(self.lm_state["offset"])  # drain the device queue
         self.release(sess)
+        self._inflight.clear()
+        self.latency.samples_ms.clear()  # compile frames are not serving tail

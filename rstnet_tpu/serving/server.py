@@ -379,7 +379,9 @@ def build_batched_app(batcher, text_tokenizer=None):
         # every batched step is one frame for every active session, so the
         # batcher's distribution IS the per-session frame-latency tail
         return web.json_response(
-            {"active_sessions": len(batcher.sessions), **batcher.latency.summary()}
+            {"active_sessions": len(batcher.sessions),
+             "pipeline_depth": batcher.pipeline_depth,
+             **batcher.latency.summary()}
         )
 
     app.router.add_get("/api/stats", stats)
@@ -437,6 +439,23 @@ def main(argv=None):
              "cache memory and attention HBM traffic per frame",
     )
     parser.add_argument(
+        "--pipeline", default="auto", metavar="DEPTH",
+        help="batched frame-clock pipeline depth: 1 = synchronous round "
+             "trip per tick, 2 = dispatch frame t while fetching frame t-1 "
+             "(overlaps the host<->device transfer with compute; +1 frame "
+             "of end-to-end latency). 'auto' measures the readback RTT and "
+             "picks 2 only when transfer is a material slice of the 80 ms "
+             "budget (tunneled/remote chips)",
+    )
+    parser.add_argument(
+        "--wire", default="auto", choices=("auto", "pcm16", "f32"),
+        help="host<->device PCM format for the batched pipeline: pcm16 "
+             "halves per-tick transfer bytes by moving audio as int16 (the "
+             "exact client wire format) and converting on device; auto "
+             "picks pcm16 whenever the pipeline depth is >1 (i.e. the chip "
+             "is remote enough that transfer matters)",
+    )
+    parser.add_argument(
         "--scan-frames", type=int, default=4, metavar="N",
         help="when a session has >= N whole frames buffered (file "
              "streaming, catch-up after a stall), run them as ONE scanned "
@@ -474,13 +493,18 @@ def main(argv=None):
         lm_gen = LMGen(lm, delays=lm.delays, top_k=32, kv_int8=args.kv_int8,
                        kv_unstacked=True)
         if args.batch:
-            from rstnet_tpu.serving.batcher import SessionBatcher
+            from rstnet_tpu.serving.batcher import SessionBatcher, auto_pipeline_depth
 
+            depth = (auto_pipeline_depth() if args.pipeline == "auto"
+                     else int(args.pipeline))
+            wire = ("int16" if depth > 1 else "float32") if args.wire == "auto" \
+                else ("int16" if args.wire == "pcm16" else "float32")
             batcher = SessionBatcher(
                 mimi, mimi_params, lm_gen, lm_params, max_sessions=args.batch,
-                dtype=jnp.float32,
+                dtype=jnp.float32, pipeline_depth=depth, wire_dtype=wire,
             )
-            logging.info("warming up (tiny, batch %d)...", args.batch)
+            logging.info("warming up (tiny, batch %d, pipeline depth %d, "
+                         "wire %s)...", args.batch, depth, wire)
             batcher.warmup()
             logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
             web.run_app(build_batched_app(batcher), host=args.host, port=args.port,
@@ -561,12 +585,18 @@ def main(argv=None):
     lm_gen = LMGen(lm, delays=lm.delays, kv_int8=args.kv_int8,
                    kv_unstacked=True)
     if args.batch:
-        from rstnet_tpu.serving.batcher import SessionBatcher
+        from rstnet_tpu.serving.batcher import SessionBatcher, auto_pipeline_depth
 
+        depth = (auto_pipeline_depth() if args.pipeline == "auto"
+                 else int(args.pipeline))
+        wire = ("int16" if depth > 1 else "float32") if args.wire == "auto" \
+            else ("int16" if args.wire == "pcm16" else "float32")
         batcher = SessionBatcher(
-            mimi, mimi_params, lm_gen, lm_params, max_sessions=args.batch
+            mimi, mimi_params, lm_gen, lm_params, max_sessions=args.batch,
+            pipeline_depth=depth, wire_dtype=wire,
         )
-        logging.info("warming up (batch %d)...", args.batch)
+        logging.info("warming up (batch %d, pipeline depth %d, wire %s)...",
+                     args.batch, depth, wire)
         batcher.warmup()
         logging.info(f"serving ws://{args.host}:{args.port}/api/chat")
         web.run_app(

@@ -108,6 +108,8 @@ def build_from_config(cfg: dict):
         sub_fft_sizes=tuple(crit.get("sub_multi_scale_stft_loss", {}).get("fft_sizes", (128, 256, 256))),
         sub_win_sizes=tuple(crit.get("sub_multi_scale_stft_loss", {}).get("win_sizes", (80, 120, 200))),
         sub_hop_sizes=tuple(crit.get("sub_multi_scale_stft_loss", {}).get("hop_sizes", (20, 40, 50))),
+        use_wav_loss=crit.get("use_wav_loss", False),
+        wav_loss_weight=crit.get("wav_loss_weight", 0.0),
     )
     return model, discs, g_loss_cfg
 

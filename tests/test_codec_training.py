@@ -104,6 +104,69 @@ def test_generator_loss_composition():
     assert float(sc_close) < float(sc_far)
 
 
+def test_generator_wav_loss_term():
+    """The Encodec-style time-domain L1 (use_wav_loss) contributes to the
+    loss, scales with its weight, and is zero for a perfect reconstruction."""
+    cfg = GeneratorLossConfig(
+        use_full_stft_loss=False, use_sub_stft_loss=False,
+        use_feature_match=False, use_wav_loss=True, wav_loss_weight=10.0,
+    )
+    y = jax.random.normal(jax.random.PRNGKey(0), (2, 1, 256))
+    y_hat = y + 0.1
+    loss, items = generator_loss(cfg, y, y_hat, {}, use_adv_loss=False)
+    assert "G_wav_loss" in items
+    np.testing.assert_allclose(float(items["G_wav_loss"]), 0.1, rtol=1e-5)
+    np.testing.assert_allclose(float(loss), 1.0, rtol=1e-5)  # 0.1 * 10
+    loss0, _ = generator_loss(cfg, y, y, {}, use_adv_loss=False)
+    assert float(loss0) == 0.0
+    # config plumbing: build_from_config forwards the criterion keys
+    from rstnet_tpu.training.codec_trainer import build_from_config
+
+    _, _, parsed = build_from_config({
+        "generator": {"config": {"sample_rate": 2400, "n_filters": 4,
+                                 "encoder_rates": [4, 3], "latent_dim": 32,
+                                 "codebook_size": 16, "codebook_dim": 8,
+                                 "rvq_layers": 2, "num_heads": 2,
+                                 "num_layers": 1, "context": 32,
+                                 "dim_feedforward": 64,
+                                 "semantic_feature_dim": 16,
+                                 "target_frame_rate": 100}},
+        "d_list": ["mfd"],
+        "mfd": {"config": {"hop_lengths": [8], "hidden_channels": [16],
+                           "sample_rate": 2400}},
+        "criterion": {"g_criterion": {"config": {
+            "use_wav_loss": True, "wav_loss_weight": 55.0}}},
+    })
+    assert parsed.use_wav_loss and parsed.wav_loss_weight == 55.0
+
+
+def test_synth_pseudo_speech_statistics():
+    """The formant synthesizer produces deterministic, finite clips with
+    speech-like spectral statistics: energy concentrated below ~1 kHz
+    (voiced formants) with a falling spectral tilt, plus real silences."""
+    from rstnet_tpu.data.synth_speech import synth_corpus
+
+    bank = synth_corpus(0, 4, seconds=1.0)
+    assert bank.shape == (4, 24000) and np.isfinite(bank).all()
+    np.testing.assert_allclose(
+        np.sqrt((bank**2).mean(axis=1)), 0.06, rtol=1e-3
+    )
+    assert np.array_equal(bank, synth_corpus(0, 4, seconds=1.0))
+    assert not np.array_equal(bank, synth_corpus(1, 4, seconds=1.0))
+    los, his = [], []
+    for clip in bank:
+        S = np.abs(np.fft.rfft(clip))
+        f = np.fft.rfftfreq(len(clip), 1 / 24000)
+        los.append(S[(f > 80) & (f < 1000)].mean())
+        his.append(S[(f > 6000) & (f < 10000)].mean())
+        # syllabic structure: some frames much quieter than the loudest
+        frames = clip[: 24000 // 50 * 50].reshape(50, -1)
+        frms = np.sqrt((frames**2).mean(axis=1))
+        assert frms.min() < 0.35 * frms.max()
+    # corpus-level spectral tilt (individual clips may be fricative-heavy)
+    assert np.mean(los) > 2.0 * np.mean(his)
+
+
 def _tiny_codec_setup(tmp_path, n_wavs=4, batch_size=2):
     """Synthetic wavs + a tiny yaml config for trainer CLI tests."""
     from rstnet_tpu.utils.audio import write_wav

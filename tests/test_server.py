@@ -361,14 +361,75 @@ def test_batcher_slot_reacquire_drops_inflight_frame():
         audio = np.zeros((batcher.max_sessions, 1, batcher.frame_size), np.float32)
         out = np.zeros((batcher.max_sessions, 9, 1), np.int32)
         valid = np.ones((batcher.max_sessions,), bool)
-        batcher._distribute(snapshot, audio, out, valid)
+        batcher._distribute((snapshot, audio, out, valid))
         assert sess_b.outputs.empty(), "stale frame leaked into a new session"
         # control: a fresh snapshot for the current occupant does deliver
         _, snap2 = batcher._gather_inputs()
-        batcher._distribute(snap2, audio, out, valid)
+        batcher._distribute((snap2, audio, out, valid))
         assert sess_b.outputs.qsize() == 1
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(run())
+
+
+def test_batcher_pipeline_depth2_matches_depth1():
+    """The depth-2 pipelined frame clock (dispatch frame t, fetch frame t-1,
+    overlapping transfer with compute) must deliver the exact same frames as
+    the synchronous depth-1 clock, one tick later."""
+    from rstnet_tpu.serving.batcher import SessionBatcher
+
+    streams = {}
+    for depth in (1, 2):
+        b = _tiny_batcher()
+        b2 = SessionBatcher(
+            b.mimi, b.mimi_params, b.lm_gen, b.lm_params,
+            max_sessions=b.max_sessions, dtype=jnp.float32,
+            pipeline_depth=depth,
+        )
+        b2.key = jax.random.PRNGKey(5)
+        sess = b2.acquire()
+        n = 6
+        for i in range(n + depth - 1):  # +depth-1 flush ticks
+            if i < n:
+                sess.inputs.put_nowait(
+                    np.random.default_rng(i).normal(0, 0.1, 24).astype(np.float32)
+                )
+            b2.step_once()
+        got = []
+        while not sess.outputs.empty():
+            audio, tok = sess.outputs.get_nowait()
+            got.append((audio, tok))
+        streams[depth] = got
+    assert len(streams[1]) == len(streams[2]) > 0
+    for (a1, t1), (a2, t2) in zip(streams[1], streams[2]):
+        assert t1 == t2
+        np.testing.assert_allclose(a1, a2, rtol=1e-5, atol=1e-6)
+
+
+def test_batcher_int16_wire_matches_float():
+    """int16 wire PCM (the client transport format moved host<->device as
+    16-bit) must reproduce the float32-wire stream: identical tokens on
+    identical (silence) inputs, audio equal to within one LSB of pcm16."""
+    from rstnet_tpu.serving.batcher import SessionBatcher
+
+    streams = {}
+    for wire in ("float32", "int16"):
+        b = _tiny_batcher()
+        b2 = SessionBatcher(
+            b.mimi, b.mimi_params, b.lm_gen, b.lm_params,
+            max_sessions=b.max_sessions, dtype=jnp.float32, wire_dtype=wire,
+        )
+        b2.key = jax.random.PRNGKey(9)
+        sess = b2.acquire()
+        for _ in range(5):
+            b2.step_once()  # starved slots step with exact silence
+        got = []
+        while not sess.outputs.empty():
+            got.append(sess.outputs.get_nowait())
+        streams[wire] = got
+    assert len(streams["float32"]) == len(streams["int16"]) > 0
+    for (a_f, t_f), (a_i, t_i) in zip(streams["float32"], streams["int16"]):
+        assert t_f == t_i  # silence quantizes exactly: same codes, tokens
+        np.testing.assert_allclose(a_f, a_i, atol=1.5 / 32767.0)
 
 
 def test_batcher_step_failure_closes_sessions_and_keeps_clock():
