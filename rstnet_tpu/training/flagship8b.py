@@ -94,7 +94,15 @@ def materialize_random(shapes: Params, key: jax.Array, shardings=None) -> Params
     """Fill an eval_shape tree with plausible random values, leaf by leaf
     (never holding a second full-tree copy). int8 leaves get uniform
     symmetric weights; float leaves N(0, 0.02) — the init scale of the
-    real model, so losses stay finite and gradients well-conditioned."""
+    real model, so losses stay finite and gradients well-conditioned.
+
+    Memory discipline: each fill is compiled WITH its target sharding
+    (``out_shardings``) so the leaf is born sharded — materialize-then-
+    device_put briefly held a replicated copy per device under an active
+    mesh — and is blocked on before the next fill is dispatched. Without
+    the block, async dispatch queues every leaf's int32/float32 transients
+    ahead of a slow (1-vCPU) executor and peak RSS hits tens of GB for a
+    ~3 GB tree (observed r5)."""
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
     keys = jax.random.split(key, len(leaves))
     sh_leaves = (
@@ -104,18 +112,23 @@ def materialize_random(shapes: Params, key: jax.Array, shardings=None) -> Params
 
     def _fill(k, s):
         if s.dtype == jnp.int8:
-            return jax.random.randint(k, s.shape, -127, 128, jnp.int32).astype(jnp.int8)
+            # uniform random bytes reinterpreted as int8: same coverage as
+            # randint(-127, 128) for a random fill, with a 1-byte transient
+            # instead of randint's int32 (4x) one
+            return jax.lax.bitcast_convert_type(
+                jax.random.bits(k, s.shape, jnp.uint8), jnp.int8
+            )
         if jnp.issubdtype(s.dtype, jnp.integer):
             return jnp.zeros(s.shape, s.dtype)
-        return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(s.dtype)
+        return jax.random.normal(k, s.shape, s.dtype) * jnp.asarray(0.02, s.dtype)
 
-    fill = jax.jit(_fill, static_argnums=(1,))
     out = []
     for k, s, sh in zip(keys, leaves, sh_leaves):
-        leaf = fill(k, s)
         if sh is not None:
-            leaf = jax.device_put(leaf, sh)
-        out.append(leaf)
+            leaf = jax.jit(_fill, static_argnums=(1,), out_shardings=sh)(k, s)
+        else:
+            leaf = jax.jit(_fill, static_argnums=(1,))(k, s)
+        out.append(jax.block_until_ready(leaf))
     return treedef.unflatten(out)
 
 
