@@ -75,21 +75,94 @@ class ServerState:
     def __post_init__(self):
         model = self.lm_gen.model
         self.frame_size = self.mimi.frame_size
-        self._encode_step = jax.jit(self.mimi.encode_step, donate_argnums=(1,))
-        self._decode_step = jax.jit(self.mimi.decode_step, donate_argnums=(1,))
-        self._lm_step = jax.jit(self.lm_gen.step, donate_argnums=(1,))
-        self._lm_step_scan = jax.jit(
-            self.lm_gen.step_scan, static_argnames=("n_frames",), donate_argnums=(1,)
+        # the whole frame is ONE jitted dispatch (see batcher._fused_step:
+        # on a remote/tunneled chip every extra dispatch — including the
+        # per-frame jax.random.split — is a host<->device round trip)
+        self._fused = jax.jit(self._fused_frame, donate_argnums=(2,))
+        self._fused_scan = jax.jit(
+            self._fused_frames, static_argnames=("n_frames",), donate_argnums=(2,)
         )
         self.reset()
 
     def reset(self):
         chunk_frames = max(1, self.scan_frames)
-        self.enc_state = self.mimi.init_encode_state(1, chunk_frames=chunk_frames)
-        self.dec_state = self.mimi.init_decode_state(1, chunk_frames=chunk_frames)
-        self.lm_state = self.lm_gen.init_state(1, dtype=jnp.float32)
-        self.key = jax.random.PRNGKey(int(time.time()))
+        self._state = {
+            "enc": self.mimi.init_encode_state(1, chunk_frames=chunk_frames),
+            "dec": self.mimi.init_decode_state(1, chunk_frames=chunk_frames),
+            "lm": self.lm_gen.init_state(1, dtype=jnp.float32),
+            "dec_age": jnp.zeros((1,), jnp.int32),
+            "key": jax.random.PRNGKey(int(time.time())),
+        }
         self.steps = 0  # completed frames; validity is deterministic from it
+
+    # back-compat views (tests/tools peek; `key` settable for determinism)
+    @property
+    def key(self):
+        return self._state["key"]
+
+    @key.setter
+    def key(self, value):
+        self._state = {**self._state, "key": value}
+
+    @property
+    def enc_state(self):
+        return self._state["enc"]
+
+    @property
+    def dec_state(self):
+        return self._state["dec"]
+
+    @property
+    def lm_state(self):
+        return self._state["lm"]
+
+    def _fused_frame(self, mimi_params, lm_params, state, chunk):
+        """codec encode + LM frame + codec decode + PRNG bookkeeping as ONE
+        jitted function. Warmup frames decode clamped garbage that the host
+        discards; the decoder state they advanced is dropped by a masked
+        reset at the first valid frame (same contract as the batcher, which
+        is verified bit-equal to skip-decode solo semantics in
+        tests/test_server.py::test_batched_audio_matches_solo_with_delays).
+        """
+        mimi, gen = self.mimi, self.lm_gen
+        key, sub = jax.random.split(state["key"])
+        codes, enc = mimi.encode_step(mimi_params, state["enc"], chunk)
+        user = (
+            codes[:, : gen.num_user_streams, :] if gen.num_user_streams else None
+        )
+        out, valid, lm = gen.step(lm_params, state["lm"], sub, user)
+        first_valid = valid & (state["dec_age"] == 0)
+        dec_in = mimi.mask_decode_slots(state["dec"], first_valid)
+        codes_out = jnp.clip(out[:, 1:, :], 0, mimi.quantizer.bins - 1)
+        audio, dec = mimi.decode_step(mimi_params, dec_in, codes_out)
+        new_state = {
+            "enc": enc, "dec": dec, "lm": lm,
+            "dec_age": state["dec_age"] + valid.astype(jnp.int32),
+            "key": key,
+        }
+        return audio, out, new_state
+
+    def _fused_frames(self, mimi_params, lm_params, state, chunk, n_frames=None):
+        """N whole frames in ONE dispatch (encode chunk -> LMGen.step_scan
+        -> decode chunk). Caller gates on warmup being over, so every
+        scanned frame is valid."""
+        mimi, gen = self.mimi, self.lm_gen
+        key, sub = jax.random.split(state["key"])
+        codes, enc = mimi.encode_step(mimi_params, state["enc"], chunk)
+        user = (
+            codes[:, : gen.num_user_streams, :] if gen.num_user_streams else None
+        )
+        out, _, lm = gen.step_scan(
+            lm_params, state["lm"], sub, user,
+            **({} if gen.num_user_streams else {"n_frames": n_frames}),
+        )
+        audio, dec = mimi.decode_step(mimi_params, state["dec"], out[:, 1:, :])
+        new_state = {
+            "enc": enc, "dec": dec, "lm": lm,
+            "dec_age": state["dec_age"] + out.shape[-1],
+            "key": key,
+        }
+        return audio, out, new_state
 
     def warmup(self, n_frames: int = 4) -> None:
         """Compile + steady-state the three jitted steps
@@ -111,23 +184,20 @@ class ServerState:
         """One 80 ms frame: float samples in -> (float samples out | None,
         text token | None).
 
-        Exactly ONE host<->device fetch per frame: validity is deterministic
-        from the frame counter (LMGen: valid = age > max_delay), so warmup
-        frames dispatch without any readback, and valid frames fetch
-        (audio, tokens) in a single batched ``jax.device_get`` — on a
-        tunneled device every separate fetch costs a full round trip."""
+        Exactly ONE dispatch and at most ONE host<->device fetch per frame:
+        validity is deterministic from the frame counter (LMGen: valid =
+        age > max_delay), so warmup frames dispatch without any readback,
+        and valid frames fetch (audio, tokens) in a single batched
+        ``jax.device_get`` — on a tunneled device every separate dispatch
+        or fetch costs a full round trip."""
         assert pcm.shape[-1] == self.frame_size
         chunk = jnp.asarray(pcm, jnp.float32).reshape(1, 1, -1)
-        codes, self.enc_state = self._encode_step(self.mimi_params, self.enc_state, chunk)
-        user_streams = self.lm_gen.num_user_streams
-        self.key, sub = jax.random.split(self.key)
-        user = codes[:, :user_streams, :] if user_streams else None
-        out, _, self.lm_state = self._lm_step(self.lm_params, self.lm_state, sub, user)
+        audio, out, self._state = self._fused(
+            self.mimi_params, self.lm_params, self._state, chunk
+        )
         self.steps += 1
         if self.steps <= self.lm_gen.max_delay:
             return None, None  # warmup frame: nothing to emit, no readback
-        audio_codes = out[:, 1:, :]
-        audio, self.dec_state = self._decode_step(self.mimi_params, self.dec_state, audio_codes)
         audio_np, out_np = jax.device_get((audio, out))
         return audio_np[0, 0], int(out_np[0, 0, 0])
 
@@ -148,18 +218,11 @@ class ServerState:
             )
         n = pcm.shape[-1] // self.frame_size
         chunk = jnp.asarray(pcm, jnp.float32).reshape(1, 1, -1)
-        codes, self.enc_state = self._encode_step(self.mimi_params, self.enc_state, chunk)
-        user_streams = self.lm_gen.num_user_streams
-        self.key, sub = jax.random.split(self.key)
-        user = codes[:, :user_streams, :] if user_streams else None
-        out, _, self.lm_state = self._lm_step_scan(
-            self.lm_params, self.lm_state, sub, user,
-            **({} if user_streams else {"n_frames": n}),
+        audio, out, self._state = self._fused_scan(
+            self.mimi_params, self.lm_params, self._state, chunk,
+            **({} if self.lm_gen.num_user_streams else {"n_frames": n}),
         )
         self.steps += n
-        audio, self.dec_state = self._decode_step(
-            self.mimi_params, self.dec_state, out[:, 1:, :]
-        )
         audio_np, out_np = jax.device_get((audio, out))
         return audio_np[0, 0], [int(t) for t in out_np[0, 0, :]]
 
