@@ -404,6 +404,13 @@ def bench_int8_quality(B: int = 8, T: int = 128, tiny: bool = False) -> dict:
         ("int8", lambda p: quantize_for_serving(model, p), False),
         ("int8_kv_int8", lambda p: quantize_for_serving(model, p), True),
     ]
+    if tiny:
+        # the tiny path exists to test the WIRING (variant loop, one-at-a-
+        # time builds, decode+SI-SNR); three variants cover every distinct
+        # code path (identity, composed partial quant, full quant + int8
+        # KV) at ~60% of the compile cost — quality numbers come from the
+        # full-scale run only
+        variants = [variants[0], variants[2], variants[4]]
     rows = {}
     ref = None
     ref_audio = None
@@ -1339,7 +1346,25 @@ def main():
             reps = _reps(_int8_loop, n_frames)
             int8_detail["int8_amortized_ms"] = _median(reps)
             int8_detail["int8_reps_ms"] = reps
-            del params_q, state_q, out_q
+            # and through the multi-frame dispatch: the fastest serving
+            # config (int8 weights + N frames per call)
+            key, sub = jax.random.split(key)
+            outs_q, _, state_q = scan_step(params_q, state_q, sub, n_frames=SCAN_N)
+            np.asarray(outs_q)
+
+            def _int8_scan_loop():
+                nonlocal key, state_q, outs_q
+                for _ in range(n_calls):
+                    key, sub = jax.random.split(key)
+                    outs_q, _, state_q = scan_step(
+                        params_q, state_q, sub, n_frames=SCAN_N
+                    )
+                np.asarray(outs_q)
+
+            reps = _reps(_int8_scan_loop, n_calls * SCAN_N)
+            int8_detail["int8_scan_ms"] = _median(reps)
+            int8_detail["int8_scan_reps_ms"] = reps
+            del params_q, state_q, out_q, outs_q
         except Exception as e:  # noqa: BLE001 - the headline must still print
             int8_detail["int8_bench_error"] = str(e)[:120]
 

@@ -119,7 +119,10 @@ def test_bench_int8_quality_glue_tiny():
     out = bench_int8_quality(B=2, T=8, tiny=True)
     assert out["int8_quality_frames"] == 16
     rows = out["int8_quality"]
-    assert set(rows) == {"bf16", "head_int8", "mixed_int8", "int8", "int8_kv_int8"}
+    # tiny mode covers the three distinct code paths (identity, composed
+    # partial quant, full quant + int8 KV); the full 5-variant matrix runs
+    # at scale only (bench.py::bench_int8_quality)
+    assert set(rows) == {"bf16", "mixed_int8", "int8_kv_int8"}
     for name, row in rows.items():
         assert np.isfinite(row["ppl_audio"]), (name, row)
         if name != "bf16":

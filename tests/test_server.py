@@ -42,6 +42,57 @@ def test_frame_handler_direct():
     assert isinstance(text_token, int)
 
 
+def test_fused_solo_matches_raw_steps_with_delays():
+    """The fused single-dispatch ServerState frame (encode+LM+decode+PRNG
+    in one jit, decoder reset at the first valid frame) must reproduce the
+    hand-rolled raw-module loop that skips decode during delay warmup —
+    the reference solo semantics (moshi/server.py:86-90)."""
+    mimi = tiny_mimi()
+    mimi_params = mimi.init(jax.random.PRNGKey(0))
+    lm = MoshiLMModel(
+        delays=(0,) + (1,) * 8, n_q=8, dep_q=4, card=16, text_card=64, dim=32,
+        num_heads=4, num_layers=2, hidden_scale=4.0, norm="rms_norm_f32",
+        gating="silu", positional_embedding="rope", context=16,
+        existing_text_padding_id=3, depformer_dim=16,
+        depformer_dim_feedforward=32, depformer_num_heads=2,
+        depformer_num_layers=1, depformer_multi_linear=True,
+        depformer_weights_per_step=True, depformer_pos_emb="none",
+    )
+    lm_params = lm.init(jax.random.PRNGKey(1))
+    gen = LMGen(lm, delays=lm.delays, use_sampling=False)
+    key = jax.random.PRNGKey(7)
+    rng = np.random.default_rng(3)
+    frames = [rng.normal(0, 0.1, 24).astype(np.float32) for _ in range(5)]
+
+    # raw reference: skip decode while invalid
+    es = mimi.init_encode_state(1)
+    ds = mimi.init_decode_state(1)
+    ls = gen.init_state(1, dtype=jnp.float32)
+    want = []
+    for pcm in frames:
+        chunk = jnp.asarray(pcm).reshape(1, 1, -1)
+        codes, es = mimi.encode_step(mimi_params, es, chunk)
+        user = codes[:, : gen.num_user_streams, :]
+        out, valid, ls = gen.step(lm_params, ls, key, user)
+        if bool(valid[0]):
+            audio, ds = mimi.decode_step(mimi_params, ds, out[:, 1:, :])
+            want.append((np.asarray(audio[0, 0]), int(np.asarray(out[0, 0, 0]))))
+
+    state = ServerState(
+        mimi=mimi, mimi_params=mimi_params, lm_gen=gen, lm_params=lm_params,
+    )
+    state.key = key
+    got = []
+    for pcm in frames:
+        audio, tok = state.handle_frame_array(pcm)
+        if audio is not None:
+            got.append((audio, tok))
+    assert len(got) == len(want) == 4  # one warmup frame at max_delay 1
+    for (ga, gt), (wa, wt) in zip(got, want):
+        assert gt == wt
+        np.testing.assert_allclose(ga, wa, rtol=1e-5, atol=1e-6)
+
+
 def test_scan_catchup_matches_single_frames():
     """handle_frames_array (N frames, one dispatch chain) produces exactly
     the audio + text of N handle_frame_array calls under greedy decoding —
