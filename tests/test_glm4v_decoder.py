@@ -688,12 +688,15 @@ def test_stream_inference_sweep():
     cfg = dec.flow.config
     up = dec.hift.config.total_upsample
     grid = cfg.encoder.block_size  # 3 in the tiny config
+    # every (block, T) pair lowers a fresh prompt-shape chain, so the sweep
+    # is chosen to cover each alignment regime exactly once (suite wall time
+    # is lowering-dominated on 1-vCPU CI hosts)
     cases = [
         (None, 7),      # default block = conformer grid width, non-multiple T
         (2, 7),         # misaligned block (smaller than the grid)
-        (5, 12),        # misaligned block (larger than the grid)
+        (5, 8),         # misaligned block (larger than the grid), non-multiple
         (grid, 2),      # whole run shorter than one block
-        (grid, 15),     # long-history probe: 5 blocks, prompt grows to 12
+        (grid, 12),     # long-history probe: 4 blocks, prompt grows to 9
     ]
     for block, T in cases:
         token = jax.random.randint(
@@ -711,8 +714,9 @@ def test_stream_inference_sweep():
         assert float(np.abs(w).max()) > 0, (block, T)
 
     # key-determinism: the streaming path threads one PRNG key through all
-    # per-block noise draws
-    token = jax.random.randint(jax.random.PRNGKey(0), (1, 9), 0, 40)
+    # per-block noise draws. T=7 reuses the default-block shape chain lowered
+    # by the first sweep case, so these three calls hit the jit cache.
+    token = jax.random.randint(jax.random.PRNGKey(0), (1, 7), 0, 40)
     w1 = dec.stream_inference(token, key=jax.random.PRNGKey(5))
     w2 = dec.stream_inference(token, key=jax.random.PRNGKey(5))
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))

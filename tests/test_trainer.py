@@ -83,12 +83,12 @@ def test_trainer_end_to_end_with_resume(tmp_path):
 
     _write_synthetic(tmp_path)
     exp = tmp_path / "exp"
-    trainer.main(_trainer_args(tmp_path, exp))
+    trainer.main(_trainer_args(tmp_path, exp, extra=("--n_epoch", "1")))
     ckpts = sorted(os.listdir(exp))
-    assert "ep2.checkpoint" in ckpts
-    # resume: third epoch only
-    trainer.main(_trainer_args(tmp_path, exp, extra=("--n_epoch", "3")))
-    assert (exp / "ep3.checkpoint").exists()
+    assert "ep1.checkpoint" in ckpts
+    # resume: second epoch only
+    trainer.main(_trainer_args(tmp_path, exp, extra=("--n_epoch", "2")))
+    assert (exp / "ep2.checkpoint").exists()
 
 
 @pytest.mark.slow
