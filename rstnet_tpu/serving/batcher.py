@@ -174,6 +174,16 @@ class SessionBatcher:
         self._gen = [0] * B
         self._task: Optional[asyncio.Task] = None
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # Start the device->host copy of each frame's outputs at DISPATCH
+        # time instead of paying a synchronous round trip at fetch time.
+        # At depth D a frame sits in flight for D-1 ticks (~50 ms at the
+        # measured tick times), so by the time jax.device_get runs the
+        # transfer has a full tick of slack — transport-jitter spikes that
+        # land in the p99 of a synchronous fetch (the <1.3 ms tail misses
+        # at B=96/128, ARCHITECTURE.md "sessions ceiling") are absorbed
+        # before the tick clock ever sees them. Probed once lazily: the
+        # experimental axon backend may not implement the PJRT async copy.
+        self._async_fetch: Optional[bool] = None
         # dispatched-but-not-fetched steps: (snapshot, audio_dev, out_dev,
         # valid_np); bounded by pipeline_depth - 1
         self._inflight: collections.deque = collections.deque()
@@ -329,6 +339,13 @@ class SessionBatcher:
             # per-dispatch bookkeeping (host mirrors of the device counters)
             self.age += 1
             self.dec_age += valid_np.astype(np.int32)
+            if self.pipeline_depth > 1 and self._async_fetch is not False:
+                try:
+                    audio.copy_to_host_async()
+                    out.copy_to_host_async()
+                    self._async_fetch = True
+                except Exception:  # noqa: BLE001 - backend lacks async copy
+                    self._async_fetch = False
             self._inflight.append((snapshot, audio, out, valid_np))
             if len(self._inflight) < self.pipeline_depth:
                 return None  # pipeline still filling: nothing to deliver yet
@@ -338,7 +355,10 @@ class SessionBatcher:
             # axon), so fetching audio and tokens together halves the
             # per-frame transfer cost. At depth > 1 this fetch targets a
             # step dispatched depth-1 ticks ago, whose compute has already
-            # overlapped the intervening ticks — the fetch costs ~one RTT.
+            # overlapped the intervening ticks — and whose device->host
+            # copy was started at dispatch time (copy_to_host_async above),
+            # so when the backend supports the async copy this device_get
+            # completes from the host-side buffer without a fresh RTT.
             audio_np, out_np = jax.device_get((audio_d, out_d))
             self.last_step_ms = (time.perf_counter() - t0) * 1000.0
             self.latency.record(self.last_step_ms)
