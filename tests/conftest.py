@@ -12,6 +12,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests never touch the real chip, but several import bench.py, whose
+# import-time wedged-backend guard probes the TPU in a subprocess (the
+# subprocess does NOT inherit the in-process cpu override below). On a
+# wedged backend that guard waits up to 25 min — observed stalling this
+# CPU-only suite at 85% for its full bounded wait. Disable it for tests.
+os.environ.setdefault("RSTNET_BENCH_NO_PROBE", "1")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
