@@ -444,6 +444,9 @@ def build_batched_app(batcher, text_tokenizer=None):
         return web.json_response(
             {"active_sessions": len(batcher.sessions),
              "pipeline_depth": batcher.pipeline_depth,
+             # whether dispatched frames prefetch device->host (absorbs
+             # transport jitter at depth>1); None until the first tick
+             "async_fetch": batcher._async_fetch,
              **batcher.latency.summary()}
         )
 
