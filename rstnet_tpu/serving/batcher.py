@@ -41,6 +41,7 @@ import asyncio
 import collections
 import dataclasses
 import logging
+import os
 import threading
 import time
 from typing import Optional
@@ -183,7 +184,13 @@ class SessionBatcher:
         # at B=96/128, ARCHITECTURE.md "sessions ceiling") are absorbed
         # before the tick clock ever sees them. Probed once lazily: the
         # experimental axon backend may not implement the PJRT async copy.
-        self._async_fetch: Optional[bool] = None
+        # RSTNET_BATCHER_ASYNC_FETCH=0 disables it (A/B lever: on some
+        # backends an explicit early copy can be slower than the fused
+        # fetch path device_get uses).
+        self._async_fetch: Optional[bool] = (
+            False if os.environ.get("RSTNET_BATCHER_ASYNC_FETCH") == "0"
+            else None
+        )
         # dispatched-but-not-fetched steps: (snapshot, audio_dev, out_dev,
         # valid_np); bounded by pipeline_depth - 1
         self._inflight: collections.deque = collections.deque()
