@@ -347,6 +347,30 @@ def _tiny_batcher(max_sessions=2):
     )
 
 
+def test_batcher_async_prefetch_engages_and_killswitch(monkeypatch):
+    """At depth>1 the batcher starts each frame's device->host copy at
+    dispatch time (transport-jitter absorption); the probe flag must flip
+    True after the first tick, parity with the synchronous fetch is pinned
+    by test_batcher_pipeline_depth2_matches_depth1, and the
+    RSTNET_BATCHER_ASYNC_FETCH=0 kill-switch must keep the path off."""
+    from rstnet_tpu.serving.batcher import SessionBatcher
+
+    b = _tiny_batcher()
+    for env, expect in ((None, True), ("0", False)):
+        if env is None:
+            monkeypatch.delenv("RSTNET_BATCHER_ASYNC_FETCH", raising=False)
+        else:
+            monkeypatch.setenv("RSTNET_BATCHER_ASYNC_FETCH", env)
+        b2 = SessionBatcher(
+            b.mimi, b.mimi_params, b.lm_gen, b.lm_params,
+            max_sessions=b.max_sessions, dtype=jnp.float32, pipeline_depth=2,
+        )
+        sess = b2.acquire()
+        for _ in range(3):
+            b2.step_once()
+        assert b2._async_fetch is expect
+
+
 def test_batched_handshake_reply_precedes_any_audio():
     """The batched handler must not stream audio before the codec handshake
     is decided: the slot is acquired only after the reply is sent, so a
