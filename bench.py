@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _wait_for_healthy_backend(max_wait_s: float = 1500.0) -> None:
+def _wait_for_healthy_backend(max_wait_s: float = 3000.0) -> None:
     """Bounded wait for the TPU backend before touching jax in this process.
 
     The tunneled axon backend can wedge after an aborted remote (Mosaic)
