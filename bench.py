@@ -1472,7 +1472,16 @@ def main():
     )
     if run_sessions:
         try:
-            sizes = (8, 16, 32, 64) if sessions_mode == "sweep" else (8, 32, 64)
+            # 96/128 ride the same tail gate: their mean tick (~51/64 ms)
+            # leaves real budget margin, so whether they promote depends
+            # on the run's transport-jitter tail — measured honestly, a
+            # good-transport run reports 128, a jittery one falls back to
+            # the largest size whose p99 held (see ARCHITECTURE.md
+            # "sessions ceiling")
+            sizes = (
+                (8, 16, 32, 64, 96, 128) if sessions_mode == "sweep"
+                else (8, 32, 64, 96, 128)
+            )
             codec_detail.update(bench_sessions(sizes=sizes))
         except Exception as e:  # noqa: BLE001 - the headline must still print
             codec_detail["sessions_bench_error"] = str(e)[:120]
