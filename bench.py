@@ -1091,14 +1091,24 @@ def bench_sessions(sizes=(8, 32, 64), tail_frames: int = 300) -> dict:
                 batcher.step_once()
             np.asarray(batcher.lm_state["offset"])  # drain
             batcher.latency.samples_ms.clear()
+            batcher.delivery_latency.samples_ms.clear()
             for _ in range(tail_frames):
                 batcher.step_once()
                 for sess in held:  # keep output queues from filling
                     while not sess.outputs.empty():
                         sess.outputs.get_nowait()
             s = batcher.latency.summary()
+            d = batcher.delivery_latency.summary()
             ms = float(np.mean(batcher.latency.samples_ms))
-            under = bool(s.get("p99_under_budget"))
+            # the serving claim needs BOTH tails under budget: the tick
+            # distribution proves the frame clock sustains cadence, the
+            # dispatch->delivery distribution proves each frame's bytes
+            # reach the host in time (with the threaded fetch pool a tick
+            # no longer contains the delivered frame's full round trip,
+            # so cadence alone would under-count transport)
+            under = bool(s.get("p99_under_budget")) and (
+                d.get("n_frames", 0) == 0 or bool(d.get("p99_under_budget"))
+            )
             tails[str(B)] = {
                 "mean_tick_ms": round(ms, 2),
                 "p50_ms": s.get("p50_ms"),
@@ -1107,6 +1117,9 @@ def bench_sessions(sizes=(8, 32, 64), tail_frames: int = 300) -> dict:
                 "max_ms": s.get("max_ms"),
                 "n_frames": s.get("n_frames"),
                 "n_recovery_excluded": s.get("n_recovery_excluded", 0),
+                "delivery_p50_ms": d.get("p50_ms"),
+                "delivery_p99_ms": d.get("p99_steady_ms"),
+                "delivery_max_ms": d.get("max_ms"),
                 "p99_under_budget": under,
             }
             # the headline gate (VERDICT r4 item 1): steady-state p99 of the

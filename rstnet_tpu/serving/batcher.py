@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import asyncio
 import collections
+import concurrent.futures
 import dataclasses
 import logging
 import os
@@ -98,6 +99,7 @@ class SessionBatcher:
         dtype=jnp.bfloat16,
         pipeline_depth: int = 1,
         wire_dtype: str = "float32",
+        fetch_pool: Optional[int] = None,
     ):
         """``pipeline_depth`` > 1 overlaps the host<->device transfer with
         device compute: tick *t* dispatches frame *t* and fetches frame
@@ -114,7 +116,23 @@ class SessionBatcher:
         the transport already imposes, not new loss): float conversion
         happens on device inside the fused step, halving the per-tick
         transfer bytes. Matters on a bandwidth-limited tunnel at large B
-        (B=64: 2 x 0.5 MB/tick -> 2 x 0.25 MB); irrelevant locally."""
+        (B=64: 2 x 0.5 MB/tick -> 2 x 0.25 MB); irrelevant locally.
+
+        ``fetch_pool`` (default: ``pipeline_depth`` when depth > 1, else
+        off) moves each in-flight frame's device->host fetch into a small
+        thread pool, submitted at DISPATCH time: worker threads block on
+        the transfer while the tick thread keeps dispatching, so
+        round-trips overlap each other and the pipeline window, instead
+        of one synchronous RTT gating every tick. Measured on the axon
+        tunnel: 8 concurrent 240 KB fetches complete in 81 ms across 4
+        threads vs 278 ms serially — the transport multiplexes, it was
+        the serial fetch loop that serialized it. A transport-jitter
+        spike then delays ONE frame inside its (depth-1)-tick slack
+        window instead of stalling the frame clock for every session.
+        Delivery order is preserved (FIFO pop), and per-frame
+        dispatch->delivery latency is tracked separately in
+        ``self.delivery_latency`` — the serving claim must hold BOTH
+        tails (tick cadence AND delivery) under the frame budget."""
         # Slot isolation relies on *relative* positions (rope/none): a slot
         # joining at global offset t must behave as a fresh stream at 0.
         # Absolute sin embeddings would leak the global clock into late
@@ -191,8 +209,31 @@ class SessionBatcher:
             False if os.environ.get("RSTNET_BATCHER_ASYNC_FETCH") == "0"
             else None
         )
-        # dispatched-but-not-fetched steps: (snapshot, audio_dev, out_dev,
-        # valid_np); bounded by pipeline_depth - 1
+        # threaded fetch pool (see class docstring); env override is the
+        # A/B lever: RSTNET_BATCHER_FETCH_POOL=0 disables, =N forces N
+        env_pool = os.environ.get("RSTNET_BATCHER_FETCH_POOL")
+        if env_pool is not None:
+            fetch_pool = int(env_pool)
+        if fetch_pool is None:
+            fetch_pool = self.pipeline_depth if self.pipeline_depth > 1 else 0
+        self.fetch_pool = max(0, int(fetch_pool))
+        self._pool = (
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=self.fetch_pool,
+                thread_name_prefix="batcher-fetch",
+            )
+            if self.fetch_pool > 0
+            else None
+        )
+        # dispatch->delivery latency per frame (recorded at pop time): the
+        # second half of the serving story — the tick distribution proves
+        # cadence, this one proves frames actually reach the host within
+        # budget. Floor is (depth-1) ticks by construction.
+        from rstnet_tpu.utils.latency import FrameLatencyTracker as _FLT
+
+        self.delivery_latency = _FLT(budget_ms=FRAME_SECONDS * 1000.0)
+        # dispatched-but-not-fetched steps: (snapshot, fetched-or-future,
+        # valid_np, dispatch_ts); bounded by pipeline_depth - 1
         self._inflight: collections.deque = collections.deque()
         self.last_step_ms = 0.0
         # tail-latency telemetry: every batched device step is one frame for
@@ -346,28 +387,47 @@ class SessionBatcher:
             # per-dispatch bookkeeping (host mirrors of the device counters)
             self.age += 1
             self.dec_age += valid_np.astype(np.int32)
-            if self.pipeline_depth > 1 and self._async_fetch is not False:
+            if (
+                self._pool is None
+                and self.pipeline_depth > 1
+                and self._async_fetch is not False
+            ):
                 try:
                     audio.copy_to_host_async()
                     out.copy_to_host_async()
                     self._async_fetch = True
                 except Exception:  # noqa: BLE001 - backend lacks async copy
                     self._async_fetch = False
-            self._inflight.append((snapshot, audio, out, valid_np))
+            if self._pool is not None:
+                # fetch starts NOW, in a worker thread: the device_get
+                # blocks there on compute completion + transfer while this
+                # thread keeps the frame clock running; concurrent fetches
+                # overlap on the transport (measured ~Nx on the tunnel)
+                payload = self._pool.submit(jax.device_get, (audio, out))
+            else:
+                payload = (audio, out)
+            self._inflight.append((snapshot, payload, valid_np, t0))
             if len(self._inflight) < self.pipeline_depth:
                 return None  # pipeline still filling: nothing to deliver yet
-            old_snap, audio_d, out_d, valid_old = self._inflight.popleft()
-            # ONE batched fetch: on a tunneled device every separate
-            # np.asarray pays a full host<->device round trip (~29 ms on
-            # axon), so fetching audio and tokens together halves the
-            # per-frame transfer cost. At depth > 1 this fetch targets a
-            # step dispatched depth-1 ticks ago, whose compute has already
-            # overlapped the intervening ticks — and whose device->host
-            # copy was started at dispatch time (copy_to_host_async above),
-            # so when the backend supports the async copy this device_get
-            # completes from the host-side buffer without a fresh RTT.
-            audio_np, out_np = jax.device_get((audio_d, out_d))
-            self.last_step_ms = (time.perf_counter() - t0) * 1000.0
+            old_snap, old_payload, valid_old, t_dispatch = (
+                self._inflight.popleft()
+            )
+            if self._pool is not None:
+                # usually already complete: the frame had depth-1 ticks of
+                # slack; a transport spike makes THIS wait absorb the
+                # remainder instead of a full fresh round trip
+                audio_np, out_np = old_payload.result()
+            else:
+                # ONE batched fetch: on a tunneled device every separate
+                # np.asarray pays a full host<->device round trip (~29 ms
+                # on axon), so fetching audio and tokens together halves
+                # the per-frame transfer cost. At depth > 1 this fetch
+                # targets a step dispatched depth-1 ticks ago, whose
+                # compute has already overlapped the intervening ticks.
+                audio_np, out_np = jax.device_get(old_payload)
+            now = time.perf_counter()
+            self.delivery_latency.record((now - t_dispatch) * 1000.0)
+            self.last_step_ms = (now - t0) * 1000.0
             self.latency.record(self.last_step_ms)
         if self.wire_int16:
             audio_np = audio_np.astype(np.float32) * (1.0 / 32767.0)

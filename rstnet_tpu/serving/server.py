@@ -444,9 +444,14 @@ def build_batched_app(batcher, text_tokenizer=None):
         return web.json_response(
             {"active_sessions": len(batcher.sessions),
              "pipeline_depth": batcher.pipeline_depth,
+             "fetch_pool": batcher.fetch_pool,
              # whether dispatched frames prefetch device->host (absorbs
              # transport jitter at depth>1); None until the first tick
              "async_fetch": batcher._async_fetch,
+             # dispatch->delivery tail: cadence (the tick summary below)
+             # proves the clock sustains the budget; this proves each
+             # frame's bytes reach the host within it too
+             "delivery": batcher.delivery_latency.summary(),
              **batcher.latency.summary()}
         )
 
@@ -514,6 +519,14 @@ def main(argv=None):
              "budget (tunneled/remote chips)",
     )
     parser.add_argument(
+        "--fetch-pool", default="auto", metavar="N",
+        help="threaded device->host fetch pool for the batched pipeline: "
+             "each in-flight frame's fetch is submitted at dispatch time "
+             "so round trips overlap (the tunnel transport multiplexes); "
+             "'auto' = pipeline depth when depth > 1, 0 disables (the "
+             "synchronous single-fetch tick)",
+    )
+    parser.add_argument(
         "--wire", default="auto", choices=("auto", "pcm16", "f32"),
         help="host<->device PCM format for the batched pipeline: pcm16 "
              "halves per-tick transfer bytes by moving audio as int16 (the "
@@ -565,9 +578,12 @@ def main(argv=None):
                      else int(args.pipeline))
             wire = ("int16" if depth > 1 else "float32") if args.wire == "auto" \
                 else ("int16" if args.wire == "pcm16" else "float32")
+            pool = (None if args.fetch_pool == "auto"
+                    else int(args.fetch_pool))
             batcher = SessionBatcher(
                 mimi, mimi_params, lm_gen, lm_params, max_sessions=args.batch,
                 dtype=jnp.float32, pipeline_depth=depth, wire_dtype=wire,
+                fetch_pool=pool,
             )
             logging.info("warming up (tiny, batch %d, pipeline depth %d, "
                          "wire %s)...", args.batch, depth, wire)
@@ -657,9 +673,10 @@ def main(argv=None):
                  else int(args.pipeline))
         wire = ("int16" if depth > 1 else "float32") if args.wire == "auto" \
             else ("int16" if args.wire == "pcm16" else "float32")
+        pool = None if args.fetch_pool == "auto" else int(args.fetch_pool)
         batcher = SessionBatcher(
             mimi, mimi_params, lm_gen, lm_params, max_sessions=args.batch,
-            pipeline_depth=depth, wire_dtype=wire,
+            pipeline_depth=depth, wire_dtype=wire, fetch_pool=pool,
         )
         logging.info("warming up (batch %d, pipeline depth %d, wire %s)...",
                      args.batch, depth, wire)

@@ -347,28 +347,43 @@ def _tiny_batcher(max_sessions=2):
     )
 
 
-def test_batcher_async_prefetch_engages_and_killswitch(monkeypatch):
-    """At depth>1 the batcher starts each frame's device->host copy at
-    dispatch time (transport-jitter absorption); the probe flag must flip
-    True after the first tick, parity with the synchronous fetch is pinned
-    by test_batcher_pipeline_depth2_matches_depth1, and the
-    RSTNET_BATCHER_ASYNC_FETCH=0 kill-switch must keep the path off."""
+def test_batcher_fetch_modes_and_killswitches(monkeypatch):
+    """The depth-2 batcher's three fetch modes (threaded pool [default],
+    dispatch-time async copy [pool disabled], fully synchronous [both
+    disabled]) must all tick, track delivery latency, and respect their
+    env kill-switches. Output parity across modes is pinned by
+    test_batcher_pipeline_depth2_matches_depth1 (which runs the default
+    pool path) — this test pins the mode selection itself."""
     from rstnet_tpu.serving.batcher import SessionBatcher
 
     b = _tiny_batcher()
-    for env, expect in ((None, True), ("0", False)):
-        if env is None:
-            monkeypatch.delenv("RSTNET_BATCHER_ASYNC_FETCH", raising=False)
-        else:
-            monkeypatch.setenv("RSTNET_BATCHER_ASYNC_FETCH", env)
+    # (pool_env, async_env) -> (fetch_pool, _async_fetch after ticks)
+    cases = [
+        (None, None, 2, None),   # default: pool of `depth`, async unused
+        ("0", None, 0, True),    # pool off -> dispatch-time async copy
+        ("0", "0", 0, False),    # both off -> synchronous fetch
+        ("3", None, 3, None),    # forced pool size
+    ]
+    for pool_env, async_env, want_pool, want_async in cases:
+        for name, val in (("RSTNET_BATCHER_FETCH_POOL", pool_env),
+                          ("RSTNET_BATCHER_ASYNC_FETCH", async_env)):
+            if val is None:
+                monkeypatch.delenv(name, raising=False)
+            else:
+                monkeypatch.setenv(name, val)
         b2 = SessionBatcher(
             b.mimi, b.mimi_params, b.lm_gen, b.lm_params,
             max_sessions=b.max_sessions, dtype=jnp.float32, pipeline_depth=2,
         )
+        assert b2.fetch_pool == want_pool, (pool_env, b2.fetch_pool)
         sess = b2.acquire()
-        for _ in range(3):
+        for _ in range(4):
             b2.step_once()
-        assert b2._async_fetch is expect
+        assert b2._async_fetch is want_async, (pool_env, async_env)
+        # frames were delivered and the dispatch->delivery tail is tracked
+        d = b2.delivery_latency.summary()
+        assert d["n_frames"] >= 3
+        assert sess.outputs.qsize() > 0
 
 
 def test_batched_handshake_reply_precedes_any_audio():
