@@ -1100,12 +1100,14 @@ def bench_sessions(sizes=(8, 32, 64), tail_frames: int = 300) -> dict:
             s = batcher.latency.summary()
             d = batcher.delivery_latency.summary()
             ms = float(np.mean(batcher.latency.samples_ms))
-            # the serving claim needs BOTH tails under budget: the tick
-            # distribution proves the frame clock sustains cadence, the
-            # dispatch->delivery distribution proves each frame's bytes
-            # reach the host in time (with the threaded fetch pool a tick
-            # no longer contains the delivered frame's full round trip,
-            # so cadence alone would under-count transport)
+            # the serving claim needs BOTH tails under their budgets: the
+            # tick distribution proves the frame clock sustains the 80 ms
+            # cadence, the dispatch->delivery distribution proves frames
+            # reach the host within the pipeline's latency budget
+            # (depth x 80 ms — the documented +depth-1 frames of latency;
+            # with the threaded fetch pool a tick no longer contains the
+            # delivered frame's full round trip, so cadence alone would
+            # under-count transport)
             under = bool(s.get("p99_under_budget")) and (
                 d.get("n_frames", 0) == 0 or bool(d.get("p99_under_budget"))
             )

@@ -227,11 +227,17 @@ class SessionBatcher:
         )
         # dispatch->delivery latency per frame (recorded at pop time): the
         # second half of the serving story — the tick distribution proves
-        # cadence, this one proves frames actually reach the host within
-        # budget. Floor is (depth-1) ticks by construction.
+        # cadence, this one proves frames reach the host within the
+        # PIPELINE's latency budget. A frame delivers (depth-1) ticks
+        # after dispatch by construction (that is the documented price of
+        # pipelining: +depth-1 frames of end-to-end latency), so the
+        # delivery budget is depth x the frame budget — NOT the bare
+        # 80 ms, which would forbid the depth-2 pipeline outright.
         from rstnet_tpu.utils.latency import FrameLatencyTracker as _FLT
 
-        self.delivery_latency = _FLT(budget_ms=FRAME_SECONDS * 1000.0)
+        self.delivery_latency = _FLT(
+            budget_ms=self.pipeline_depth * FRAME_SECONDS * 1000.0
+        )
         # dispatched-but-not-fetched steps: (snapshot, fetched-or-future,
         # valid_np, dispatch_ts); bounded by pipeline_depth - 1
         self._inflight: collections.deque = collections.deque()
