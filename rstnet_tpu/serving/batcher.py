@@ -386,7 +386,14 @@ class SessionBatcher:
             # ONE dispatch: the fused step carries its own ages and PRNG key
             # on device, so the only per-tick upload is the audio itself
             audio, out, self._state = self._step(
-                self.mimi_params, self.lm_params, self._state, jnp.asarray(pcm)
+                self.mimi_params, self.lm_params, self._state,
+                # the jit call commits the host array itself; an explicit
+                # jnp.asarray would upload in a separate client call
+                # before dispatch (A/B lever: RSTNET_BATCHER_JNP_UPLOAD=1
+                # restores the explicit pre-upload)
+                jnp.asarray(pcm)
+                if os.environ.get("RSTNET_BATCHER_JNP_UPLOAD") == "1"
+                else pcm,
             )
             # validity is deterministic from the ages — no device sync needed
             valid_np = (self.age + 1) > self.lm_gen.max_delay
